@@ -21,6 +21,9 @@ import pytest
 # with JAX_PLATFORMS already latched; force the CPU backend for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# this image's XLA defaults to low (bf16-like) matmul precision even on CPU;
+# parity tests need exact fp32 matmuls
+jax.config.update("jax_default_matmul_precision", "highest")
 
 REFERENCE_DIR = pathlib.Path("/root/reference")
 

@@ -5,6 +5,14 @@ from ns2vc_tpu.models.encoders import (
     TextTimeEmbedding,
     AttentionPooling,
 )
+from ns2vc_tpu.models.unet import UNet1DConditionModel
+from ns2vc_tpu.models.diffusion import (
+    NaturalSpeech2,
+    PreModel,
+    DiffusionEncoder,
+    generate_mel,
+    make_x0_fn,
+)
 
 __all__ = [
     "PhoneEncoder",
@@ -12,4 +20,10 @@ __all__ = [
     "F0Predictor",
     "TextTimeEmbedding",
     "AttentionPooling",
+    "UNet1DConditionModel",
+    "NaturalSpeech2",
+    "PreModel",
+    "DiffusionEncoder",
+    "generate_mel",
+    "make_x0_fn",
 ]

@@ -1,0 +1,180 @@
+"""NaturalSpeech2-style diffusion VC core: conditioning bundle, UNet wrapper,
+training objective, and jitted sampling glue.
+
+Behavioral parity targets:
+- PreModel: reference Pre_model (model.py:328-376) — attention-pools the
+  reference mel into a speaker vector g, encodes prompt and content;
+- DiffusionEncoder: reference Diffusion_Encoder (model.py:378-415) —
+  concat noisy mel with encoded content -> UNet with prompt cross-attention;
+- NaturalSpeech2: reference model.py:439-745 — x0-prediction DDPM with
+  linear betas, SNR-weighted MSE on x0, and ddpm/ddim/dpmsolver/unipc
+  sampling (here: single-lax.scan samplers with the step-invariant
+  conditioning computed once, preserving reference model.py:632/667).
+
+Batch convention (fixed shapes, mask-disciplined):
+    c      (B, T, 256)   contentvec, frame-expanded
+    refer  (B, Tp, 100)  reference log-mel (the prompt)
+    f0     (B, T)        interpolated F0      [carried for the TTS branch]
+    uv     (B, T)        voicing mask         [carried for the TTS branch]
+    spec   (B, T, 100)   target log-mel
+    lengths, refer_lengths (B,)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ns2vc_tpu.config import Config
+from ns2vc_tpu.diffusion.samplers import sample as run_sampler
+from ns2vc_tpu.diffusion.schedule import NoiseSchedule
+from ns2vc_tpu.models.encoders import (
+    PhoneEncoder, PromptEncoder, TextTimeEmbedding,
+)
+from ns2vc_tpu.models.unet import UNet1DConditionModel
+from ns2vc_tpu.ops.masking import sequence_mask
+
+
+class PreModel(nn.Module):
+    """Bundles speaker pooling + prompt/content encoders
+    (reference model.py:328-376)."""
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, c, refer, c_mask, refer_mask, deterministic=True):
+        pe = self.cfg.phoneme_encoder
+        pr = self.cfg.prompt_encoder
+        # NOTE: the reference pools the *padded* refer mel without a mask
+        # (model.py:344) — mirrored here.
+        g = TextTimeEmbedding(pr.in_channels, pr.in_channels, 1,
+                              name="ref_enc")(refer)
+        prompt = PromptEncoder(
+            in_channels=pr.in_channels, hidden_channels=pr.hidden_channels,
+            out_channels=pr.out_channels, n_layers=pr.n_layers,
+            p_dropout=pr.p_dropout, n_heads=pr.n_heads,
+            ffn_kernel=pr.ffn_kernel, name="prompt_encoder")(
+            refer, refer_mask, deterministic=deterministic)
+        content = PhoneEncoder(
+            in_channels=pe.in_channels, hidden_channels=pe.hidden_channels,
+            out_channels=pe.out_channels, n_layers=pe.n_layers,
+            p_dropout=pe.p_dropout, n_heads=pe.n_heads,
+            ffn_kernel=pe.ffn_kernel, name="phoneme_encoder")(
+            c, c_mask, g, deterministic=deterministic)
+        return content, prompt
+
+
+class DiffusionEncoder(nn.Module):
+    """Concat noisy mel + content -> conditional UNet
+    (reference model.py:378-415)."""
+
+    cfg: Config
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, content, prompt, prompt_mask, t):
+        d = self.cfg.diffusion_encoder
+        h = jnp.concatenate([x, content], axis=-1)
+        return UNet1DConditionModel(
+            in_channels=d.in_channels + d.hidden_channels,
+            out_channels=d.out_channels,
+            block_out_channels=d.block_out_channels,
+            layers_per_block=d.layers_per_block,
+            norm_num_groups=d.norm_num_groups,
+            cross_attention_dim=d.hidden_channels,
+            num_attention_heads=d.n_heads,
+            addition_embed_heads=d.addition_embed_heads,
+            remat=self.remat,
+            name="unet")(h, t, prompt, encoder_attention_mask=prompt_mask)
+
+
+class NaturalSpeech2(nn.Module):
+    """Diffusion core (reference model.py:439-745). Methods are selected via
+    flax's `method=` mechanism: `__call__` = training loss,
+    `encode` = step-invariant conditioning, `denoise` = one x0 prediction."""
+
+    cfg: Config
+    remat: bool = False
+
+    def setup(self):
+        self.pre_model = PreModel(self.cfg, name="pre_model")
+        self.diff_model = DiffusionEncoder(self.cfg, remat=self.remat,
+                                           name="diff_model")
+        self.schedule = NoiseSchedule(self.cfg.train.timesteps)
+
+    def encode(self, c, refer, c_mask, refer_mask, deterministic=True):
+        return self.pre_model(c, refer, c_mask, refer_mask,
+                              deterministic=deterministic)
+
+    def denoise(self, x, content, prompt, prompt_mask, t):
+        """x0-prediction at (possibly fractional) discrete label t
+        (reference sample_fun, model.py:520-526)."""
+        return self.diff_model(x, content, prompt, prompt_mask, t)
+
+    def __call__(self, batch: dict[str, Any], rng: jax.Array,
+                 deterministic: bool = False):
+        """Training objective (reference model.py:706-734): SNR-weighted
+        MSE on x0 over masked mels. Returns (loss, aux)."""
+        spec = batch["spec"]
+        b, t_len, _ = spec.shape
+        c_mask = sequence_mask(batch["lengths"], t_len)
+        refer_mask = sequence_mask(batch["refer_lengths"],
+                                   batch["refer"].shape[1])
+        x_mask = c_mask[..., None].astype(spec.dtype)
+        x_start = spec * x_mask
+
+        content, prompt = self.pre_model(batch["c"], batch["refer"], c_mask,
+                                         refer_mask,
+                                         deterministic=deterministic)
+
+        t_rng, n_rng = jax.random.split(rng)
+        t = jax.random.randint(t_rng, (b,), 0, self.schedule.num_timesteps)
+        noise = jax.random.normal(n_rng, x_start.shape, x_start.dtype) * x_mask
+
+        sqrt_acp = jnp.asarray(self.schedule.sqrt_alphas_cumprod,
+                               jnp.float32)[t][:, None, None]
+        sqrt_1macp = jnp.asarray(self.schedule.sqrt_one_minus_alphas_cumprod,
+                                 jnp.float32)[t][:, None, None]
+        x_t = sqrt_acp * x_start + sqrt_1macp * noise
+
+        model_out = self.diff_model(x_t, content, prompt, refer_mask,
+                                    t.astype(jnp.float32))
+
+        loss = (model_out - x_start) ** 2
+        loss = jnp.mean(loss.reshape(b, -1), axis=-1)
+        weight = jnp.asarray(self.schedule.snr, jnp.float32)[t]
+        loss_diff = jnp.mean(loss * weight)
+        aux = {"loss_diff": loss_diff, "loss_f0": 0.0,
+               "pred": model_out, "target": x_start}
+        return loss_diff, aux
+
+
+def make_x0_fn(model: NaturalSpeech2, params, content, prompt, prompt_mask):
+    """Bind step-invariant conditioning into a sampler-ready x0 function
+    (conditioning computed once per utterance — reference model.py:632/667)."""
+    def x0_fn(x, t):
+        return model.apply(params, x, content, prompt, prompt_mask, t,
+                           method=NaturalSpeech2.denoise)
+    return x0_fn
+
+
+def generate_mel(model: NaturalSpeech2, params, c, refer, lengths,
+                 refer_lengths, rng: jax.Array, method: str = "unipc",
+                 steps: Optional[int] = None) -> jnp.ndarray:
+    """Full sampling path: encode conditioning once, run one compiled
+    sampler scan, return (B, T, 100) log-mel
+    (reference NaturalSpeech2.sample, model.py:605-696, minus vocoder)."""
+    t_len = c.shape[1]
+    c_mask = sequence_mask(lengths, t_len)
+    refer_mask = sequence_mask(refer_lengths, refer.shape[1])
+    content, prompt = model.apply(params, c, refer, c_mask, refer_mask,
+                                  method=NaturalSpeech2.encode)
+    x0_fn = make_x0_fn(model, params, content, prompt, refer_mask)
+    noise_rng, sample_rng = jax.random.split(rng)
+    x_T = jax.random.normal(noise_rng, (c.shape[0], t_len,
+                                        model.cfg.diffusion_encoder.out_channels))
+    schedule = NoiseSchedule(model.cfg.train.timesteps)
+    return run_sampler(method, x0_fn, x_T, schedule, steps, sample_rng)

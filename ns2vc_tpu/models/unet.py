@@ -1,0 +1,309 @@
+"""Conditional 1D UNet denoiser.
+
+A TPU-first rebuild of exactly the subgraph the reference instantiates from
+its 8.3k-LoC diffusers fork (reference model.py:391-400 +
+unet1d/unet_1d_condition.py:61-1037): the ~20 unused block variants, LoRA
+plumbing, attention-processor registry and dual transformers are dropped;
+what remains is the VC model's actual topology:
+
+    conv_in(k3) -> [CrossAttnDown x3, Down] -> CrossAttnMid
+                -> [Up, CrossAttnUp x3] -> GN+SiLU+conv_out(k3)
+
+with: block channels (128, 256, 384, 512), 2 resnets per block, GroupNorm(8),
+8 attention heads at every level (head_dim = C/8 — the diffusers
+attention_head_dim naming bug, unet_1d_condition.py:215-221), cross-attention
+to a 256-d prompt, FiLM ('scale_shift') time conditioning
+(unet1d/resnet.py:627-629), and a pooled-prompt 'text' addition embedding
+added to the time embedding (unet_1d_condition.py:353-361, 869-870).
+
+Layout is (B, T, C) (channels-last — XLA-native on TPU; the reference is
+(B, C, T)). All matmuls are MXU-shaped; attention softmax is computed in
+fp32. `remat=True` wraps each block in jax.checkpoint for memory-bound
+training (the reference exposes the same switch, unet_1d_blocks.py:947).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ns2vc_tpu.ops.attention import multihead_attention
+from ns2vc_tpu.ops.masking import mask_to_bias
+
+
+def get_timestep_embedding(
+    timesteps: jnp.ndarray,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: int = 10000,
+) -> jnp.ndarray:
+    """DDPM sinusoidal embedding (reference unet1d/embeddings.py:24-64).
+    timesteps (B,) (may be fractional) -> (B, embedding_dim)."""
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear -> SiLU -> linear (reference unet1d/embeddings.py:157-201)."""
+
+    time_embed_dim: int
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray) -> jnp.ndarray:
+        sample = nn.Dense(self.time_embed_dim, name="linear_1")(sample)
+        sample = nn.silu(sample)
+        return nn.Dense(self.time_embed_dim, name="linear_2")(sample)
+
+
+class Attention(nn.Module):
+    """diffusers-style attention: no qkv bias, biased out proj
+    (reference unet1d/attention_processor.py:26-355 + AttnProcessor2_0)."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
+                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(context)
+        out = multihead_attention(q, k, v, self.heads, bias=bias,
+                                  scale=self.dim_head ** -0.5)
+        return nn.Dense(self.query_dim, name="to_out_0")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU feed-forward, mult 4 (reference unet1d/attention.py:310-388;
+    torch F.gelu is the exact erf form)."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        hidden = nn.Dense(inner * 2, name="proj")(x)
+        h, gate = jnp.split(hidden, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, name="out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """pre-LN self-attn -> cross-attn -> GEGLU FF
+    (reference unet1d/attention.py:26-203)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
+                 context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = x + Attention(self.dim, self.heads, self.dim_head, name="attn1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        x = x + Attention(self.dim, self.heads, self.dim_head, name="attn2")(
+            h, context=context, bias=context_bias)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+        return x + GEGLUFeedForward(self.dim, name="ff")(h)
+
+
+class Transformer1D(nn.Module):
+    """GN -> 1x1 proj in -> transformer block -> 1x1 proj out + residual
+    (reference unet1d/transformer_1d.py:41-326, continuous input path)."""
+
+    channels: int
+    heads: int
+    cross_attention_dim: int
+    norm_num_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
+                 context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        residual = x
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                         name="norm")(x)
+        h = nn.Dense(self.channels, name="proj_in")(h)
+        h = BasicTransformerBlock(self.channels, self.heads,
+                                  self.channels // self.heads,
+                                  self.cross_attention_dim,
+                                  name="blocks_0")(h, context, context_bias)
+        h = nn.Dense(self.channels, name="proj_out")(h)
+        return h + residual
+
+
+class ResnetBlock1D(nn.Module):
+    """GN -> SiLU -> conv(k3) -> FiLM(temb) -> GN -> SiLU -> conv(k3)
+    + 1x1 shortcut; 'scale_shift' time conditioning
+    (reference unet1d/resnet.py:461-640)."""
+
+    out_channels: int
+    groups: int = 8
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3,), padding="SAME", name="conv1")(h)
+
+        t = nn.silu(temb)
+        t = nn.Dense(2 * self.out_channels, name="time_emb_proj")(t)
+        scale, shift = jnp.split(t[:, None, :], 2, axis=-1)
+
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         name="norm2")(h)
+        h = h * (1 + scale) + shift
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3,), padding="SAME", name="conv2")(h)
+
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1,), name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample1D(nn.Module):
+    """conv k3 stride 2 (reference unet1d/resnet.py:176-223 with
+    use_conv=True, padding=1)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.channels, (3,), strides=(2,), padding=[(1, 1)],
+                       name="conv")(x)
+
+
+class Upsample1D(nn.Module):
+    """nearest x2 then conv k3 (reference unet1d/resnet.py:104-173)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, c = x.shape
+        x = jnp.repeat(x, 2, axis=1)
+        return nn.Conv(self.channels, (3,), padding="SAME", name="conv")(x)
+
+
+class UNet1DConditionModel(nn.Module):
+    """See module docstring. Inputs:
+    sample (B, T, in_channels) with T % 8 == 0, timesteps (B,),
+    encoder_hidden_states (B, Tp, cross_attention_dim),
+    encoder_attention_mask (B, Tp) bool (True = keep).
+    Returns (B, T, out_channels)."""
+
+    in_channels: int = 356
+    out_channels: int = 100
+    block_out_channels: Tuple[int, ...] = (128, 256, 384, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 8
+    norm_eps: float = 1e-5
+    cross_attention_dim: int = 256
+    num_attention_heads: int = 8
+    addition_embed_heads: int = 64
+    freq_shift: float = 0.0
+    flip_sin_to_cos: bool = True
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
+                 encoder_hidden_states: jnp.ndarray,
+                 encoder_attention_mask: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
+        from ns2vc_tpu.models.encoders import TextTimeEmbedding
+
+        chans = self.block_out_channels
+        time_embed_dim = chans[0] * 4
+        n_levels = len(chans)
+        assert sample.shape[1] % (2 ** (n_levels - 1)) == 0, (
+            f"T={sample.shape[1]} must be divisible by {2 ** (n_levels - 1)}")
+
+        context_bias = None
+        if encoder_attention_mask is not None:
+            context_bias = mask_to_bias(encoder_attention_mask)[:, None, None, :]
+
+        # time + pooled-prompt embedding
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        t_emb = get_timestep_embedding(timesteps, chans[0],
+                                       self.flip_sin_to_cos, self.freq_shift)
+        emb = TimestepEmbedding(time_embed_dim, name="time_embedding")(
+            t_emb.astype(sample.dtype))
+        aug = TextTimeEmbedding(self.cross_attention_dim, time_embed_dim,
+                                self.addition_embed_heads,
+                                name="add_embedding")(encoder_hidden_states)
+        emb = emb + aug
+
+        maybe_remat = (lambda f: nn.remat(f)) if self.remat else (lambda f: f)
+
+        def resnet(out_ch, name):
+            return maybe_remat(ResnetBlock1D)(
+                out_ch, self.norm_num_groups, self.norm_eps, name=name)
+
+        def transformer(ch, name):
+            return maybe_remat(Transformer1D)(
+                ch, self.num_attention_heads, self.cross_attention_dim,
+                self.norm_num_groups, name=name)
+
+        h = nn.Conv(chans[0], (3,), padding="SAME", name="conv_in")(sample)
+        skips = [h]
+
+        # ---- down path: CrossAttnDown x3, Down (no downsample on the last)
+        # (reference unet_1d_condition.py:159-163, 950-984)
+        for i, ch in enumerate(chans):
+            is_last = i == n_levels - 1
+            for j in range(self.layers_per_block):
+                h = resnet(ch, f"down_{i}_resnet_{j}")(h, emb)
+                if not is_last:  # CrossAttnDownBlock2D
+                    h = transformer(ch, f"down_{i}_attn_{j}")(
+                        h, encoder_hidden_states, context_bias)
+                skips.append(h)
+            if not is_last:
+                h = Downsample1D(ch, name=f"down_{i}_downsample")(h)
+                skips.append(h)
+
+        # ---- mid: resnet, [attn, resnet] (unet_1d_blocks.py:516-614)
+        h = resnet(chans[-1], "mid_resnet_0")(h, emb)
+        h = transformer(chans[-1], "mid_attn_0")(
+            h, encoder_hidden_states, context_bias)
+        h = resnet(chans[-1], "mid_resnet_1")(h, emb)
+
+        # ---- up path: Up, CrossAttnUp x3 (unet_1d_condition.py:165,
+        # 1001-1026; skip-concat resnets per unet_1d_blocks.py:1986-2230)
+        for i, ch in enumerate(reversed(chans)):
+            is_first = i == 0  # plain UpBlock2D
+            is_last = i == n_levels - 1
+            for j in range(self.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = resnet(ch, f"up_{i}_resnet_{j}")(h, emb)
+                if not is_first:  # CrossAttnUpBlock2D
+                    h = transformer(ch, f"up_{i}_attn_{j}")(
+                        h, encoder_hidden_states, context_bias)
+            if not is_last:
+                h = Upsample1D(ch, name=f"up_{i}_upsample")(h)
+
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.norm_eps,
+                         name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(self.out_channels, (3,), padding="SAME",
+                       name="conv_out")(h)

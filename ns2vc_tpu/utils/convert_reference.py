@@ -158,3 +158,138 @@ def text_time_embedding(sd, p):
         "proj": linear(sd, f"{p}.proj"),
         "norm2": layer_norm(sd, f"{p}.norm2"),
     }
+
+
+# ---------------------------------------------------------------------------
+# UNet1DConditionModel (reference unet1d/unet_1d_condition.py:61-1037)
+# ---------------------------------------------------------------------------
+
+def group_norm(sd, p):
+    return {"scale": _np(sd[f"{p}.weight"]), "bias": _np(sd[f"{p}.bias"])}
+
+
+def conv1x1_as_dense(sd, p, bias=True):
+    """torch Conv1d k=1 (O, I, 1) -> flax Dense (I, O)."""
+    out = {"kernel": _np(sd[f"{p}.weight"])[:, :, 0].T}
+    if bias:
+        out["bias"] = _np(sd[f"{p}.bias"])
+    return out
+
+
+def diffusers_attention(sd, p):
+    """reference unet1d/attention_processor.py Attention: to_q/k/v no bias,
+    to_out.0 with bias."""
+    return {
+        "to_q": linear(sd, f"{p}.to_q", bias=False),
+        "to_k": linear(sd, f"{p}.to_k", bias=False),
+        "to_v": linear(sd, f"{p}.to_v", bias=False),
+        "to_out_0": linear(sd, f"{p}.to_out.0"),
+    }
+
+
+def basic_transformer_block(sd, p):
+    """reference unet1d/attention.py:26-203 (GEGLU ff at net.0/net.2)."""
+    return {
+        "norm1": layer_norm(sd, f"{p}.norm1"),
+        "attn1": diffusers_attention(sd, f"{p}.attn1"),
+        "norm2": layer_norm(sd, f"{p}.norm2"),
+        "attn2": diffusers_attention(sd, f"{p}.attn2"),
+        "norm3": layer_norm(sd, f"{p}.norm3"),
+        "ff": {"proj": linear(sd, f"{p}.ff.net.0.proj"),
+               "out": linear(sd, f"{p}.ff.net.2")},
+    }
+
+
+def transformer_1d(sd, p):
+    """reference unet1d/transformer_1d.py:41-326."""
+    return {
+        "norm": group_norm(sd, f"{p}.norm"),
+        "proj_in": conv1x1_as_dense(sd, f"{p}.proj_in"),
+        "blocks_0": basic_transformer_block(sd, f"{p}.transformer_blocks.0"),
+        "proj_out": conv1x1_as_dense(sd, f"{p}.proj_out"),
+    }
+
+
+def resnet_block(sd, p):
+    """reference unet1d/resnet.py:461-640 (scale_shift)."""
+    out = {
+        "norm1": group_norm(sd, f"{p}.norm1"),
+        "conv1": conv1d(sd, f"{p}.conv1"),
+        "time_emb_proj": linear(sd, f"{p}.time_emb_proj"),
+        "norm2": group_norm(sd, f"{p}.norm2"),
+        "conv2": conv1d(sd, f"{p}.conv2"),
+    }
+    if f"{p}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = conv1d(sd, f"{p}.conv_shortcut")
+    return out
+
+
+def unet_condition(sd, p="", n_levels=4, layers_per_block=2):
+    """Full UNet1DConditionModel state dict -> flax params for
+    ns2vc_tpu.models.unet.UNet1DConditionModel."""
+    out = {
+        "conv_in": conv1d(sd, _j(p, "conv_in")),
+        "time_embedding": {
+            "linear_1": linear(sd, _j(p, "time_embedding.linear_1")),
+            "linear_2": linear(sd, _j(p, "time_embedding.linear_2")),
+        },
+        "add_embedding": text_time_embedding(sd, _j(p, "add_embedding")),
+        "conv_norm_out": group_norm(sd, _j(p, "conv_norm_out")),
+        "conv_out": conv1d(sd, _j(p, "conv_out")),
+    }
+    for i in range(n_levels):
+        is_last = i == n_levels - 1
+        for j in range(layers_per_block):
+            out[f"down_{i}_resnet_{j}"] = resnet_block(
+                sd, _j(p, f"down_blocks.{i}.resnets.{j}"))
+            if not is_last:
+                out[f"down_{i}_attn_{j}"] = transformer_1d(
+                    sd, _j(p, f"down_blocks.{i}.attentions.{j}"))
+        if not is_last:
+            out[f"down_{i}_downsample"] = {
+                "conv": conv1d(sd, _j(p, f"down_blocks.{i}.downsamplers.0.conv"))}
+    out["mid_resnet_0"] = resnet_block(sd, _j(p, "mid_block.resnets.0"))
+    out["mid_attn_0"] = transformer_1d(sd, _j(p, "mid_block.attentions.0"))
+    out["mid_resnet_1"] = resnet_block(sd, _j(p, "mid_block.resnets.1"))
+    for i in range(n_levels):
+        is_first = i == 0
+        is_last = i == n_levels - 1
+        for j in range(layers_per_block + 1):
+            out[f"up_{i}_resnet_{j}"] = resnet_block(
+                sd, _j(p, f"up_blocks.{i}.resnets.{j}"))
+            if not is_first:
+                out[f"up_{i}_attn_{j}"] = transformer_1d(
+                    sd, _j(p, f"up_blocks.{i}.attentions.{j}"))
+        if not is_last:
+            out[f"up_{i}_upsample"] = {
+                "conv": conv1d(sd, _j(p, f"up_blocks.{i}.upsamplers.0.conv"))}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Full NaturalSpeech2 checkpoint (reference model.py:439-745; saved as
+# {'step', 'model'} by Trainer.save, model.py:808-817)
+# ---------------------------------------------------------------------------
+
+def natural_speech2(sd, n_encoder_layers=6):
+    """Full reference model state dict -> flax params for
+    ns2vc_tpu.models.diffusion.NaturalSpeech2."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}  # DDP prefix
+    return {
+        "pre_model": {
+            "ref_enc": text_time_embedding(sd, "pre_model.ref_enc"),
+            "prompt_encoder": prompt_encoder(
+                sd, "pre_model.prompt_encoder", n_layers=n_encoder_layers),
+            "phoneme_encoder": phone_encoder(
+                sd, "pre_model.phoneme_encoder", n_layers=n_encoder_layers),
+        },
+        "diff_model": {"unet": unet_condition(sd, "diff_model.unet")},
+    }
+
+
+def load_reference_checkpoint(path: str):
+    """torch.load a reference `model-{N}.pt` -> (flax params, step)."""
+    import torch
+
+    data = torch.load(path, map_location="cpu")
+    return natural_speech2(data["model"]), int(data.get("step", 0))

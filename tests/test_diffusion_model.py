@@ -1,0 +1,166 @@
+"""Diffusion core tests: full-model parity vs the reference NaturalSpeech2
+(conditioning + denoiser through the weight converter), training-loss
+behavior, and the compiled sampling path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from ns2vc_tpu.config import Config, EncoderConfig, DiffusionEncoderConfig, TrainConfig
+from ns2vc_tpu.models.diffusion import NaturalSpeech2, generate_mel
+from ns2vc_tpu.ops.masking import sequence_mask
+from ns2vc_tpu.utils import convert_reference as cvt
+from tests.ref_oracle import load_reference
+
+
+def small_config():
+    return Config(
+        phoneme_encoder=EncoderConfig(in_channels=256, hidden_channels=256,
+                                      out_channels=256, n_layers=1),
+        prompt_encoder=EncoderConfig(in_channels=100, hidden_channels=256,
+                                     out_channels=256, n_layers=1),
+        train=TrainConfig(timesteps=1000),
+    )
+
+
+REF_CFG = {
+    "train": {"timesteps": 1000, "sampling_timesteps": 1000},
+    "phoneme_encoder": {"in_channels": 256, "hidden_channels": 256,
+                        "out_channels": 256, "n_layers": 1, "p_dropout": 0.2},
+    "prompt_encoder": {"in_channels": 100, "hidden_channels": 256,
+                       "out_channels": 256, "n_layers": 1, "p_dropout": 0.2},
+    "f0_predictor": {},
+    "diffusion_encoder": {"in_channels": 100, "out_channels": 100,
+                          "hidden_channels": 256, "n_heads": 8,
+                          "p_dropout": 0.2},
+}
+
+
+class TestFullModelParity:
+    @pytest.fixture(scope="class")
+    def pair(self, reference_dir):
+        model_mod, _ = load_reference()
+        torch.manual_seed(0)
+        ref = model_mod.NaturalSpeech2(REF_CFG).eval()
+        params = {"params": cvt.natural_speech2(ref.state_dict(),
+                                                n_encoder_layers=1)}
+        mine = NaturalSpeech2(small_config())
+        return ref, mine, params
+
+    def test_conditioning_and_denoiser_match(self, pair):
+        ref, mine, params = pair
+        b, t, tp = 2, 24, 16
+        torch.manual_seed(1)
+        c = torch.randn(b, 256, t)
+        refer = torch.randn(b, 100, tp)
+        lengths = torch.tensor([24, 17])
+        refer_lengths = torch.tensor([16, 9])
+        data = (c, refer, 0, 0, 0, lengths, refer_lengths, 0)
+        with torch.no_grad():
+            content_ref, prompt_ref = ref.pre_model.infer(data)  # (T, B, C)
+            x = torch.randn(b, 100, t)
+            tstep = torch.tensor([5, 900], dtype=torch.long)
+            out_ref = ref.diff_model(
+                x, (content_ref, prompt_ref, lengths, refer_lengths),
+                tstep).numpy()
+
+        c_mask = sequence_mask(jnp.array([24, 17]), t)
+        refer_mask = sequence_mask(jnp.array([16, 9]), tp)
+        content, prompt = mine.apply(
+            params, jnp.asarray(c.numpy().transpose(0, 2, 1)),
+            jnp.asarray(refer.numpy().transpose(0, 2, 1)),
+            c_mask, refer_mask, method=NaturalSpeech2.encode)
+        np.testing.assert_allclose(
+            np.asarray(content).transpose(1, 0, 2),
+            content_ref.numpy(), atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(prompt).transpose(1, 0, 2),
+            prompt_ref.numpy(), atol=3e-5)
+
+        out = mine.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 1)),
+                         content, prompt, refer_mask,
+                         jnp.array([5.0, 900.0]),
+                         method=NaturalSpeech2.denoise)
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1),
+                                   out_ref, atol=1e-3)
+
+
+class TestTraining:
+    def test_loss_and_overfit_step(self):
+        import optax
+
+        cfg = small_config()
+        model = NaturalSpeech2(cfg)
+        rng = jax.random.PRNGKey(0)
+        b, t, tp = 2, 16, 16
+        batch = {
+            "c": jax.random.normal(rng, (b, t, 256)),
+            "refer": jax.random.normal(rng, (b, tp, 100)),
+            "spec": jax.random.normal(rng, (b, t, 100)),
+            "lengths": jnp.array([16, 12]),
+            "refer_lengths": jnp.array([16, 10]),
+        }
+        params = model.init(rng, batch, rng)
+        opt = optax.adamw(1e-3, b1=0.9, b2=0.99)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, rng):
+            def loss_fn(p):
+                loss, aux = model.apply(p, batch, rng, deterministic=True)
+                return loss, aux
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state2 = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        losses = []
+        for i in range(8):
+            params, opt_state, loss = step(params, opt_state,
+                                           jax.random.PRNGKey(42))  # fixed t/noise
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.7, losses
+
+    def test_loss_ignores_padded_target(self):
+        """x_start and noise are masked (reference model.py:711-716)."""
+        cfg = small_config()
+        model = NaturalSpeech2(cfg)
+        rng = jax.random.PRNGKey(1)
+        b, t = 1, 16
+        base = {
+            "c": jnp.ones((b, t, 256)),
+            "refer": jnp.ones((b, 16, 100)),
+            "spec": jnp.ones((b, t, 100)),
+            "lengths": jnp.array([10]),
+            "refer_lengths": jnp.array([16]),
+        }
+        params = model.init(rng, base, rng)
+        loss1, _ = model.apply(params, base, jax.random.PRNGKey(7),
+                               deterministic=True)
+        # perturb only padded frames of the target
+        spec2 = base["spec"].at[:, 10:, :].set(99.0)
+        loss2, _ = model.apply(params, {**base, "spec": spec2},
+                               jax.random.PRNGKey(7), deterministic=True)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+
+
+class TestGenerate:
+    @pytest.mark.parametrize("method,steps", [("unipc", 6), ("ddim", 8),
+                                              ("dpmsolver", 6)])
+    def test_generate_mel_shapes(self, method, steps):
+        cfg = small_config()
+        model = NaturalSpeech2(cfg)
+        rng = jax.random.PRNGKey(0)
+        b, t, tp = 1, 16, 12
+        c = jax.random.normal(rng, (b, t, 256))
+        refer = jax.random.normal(rng, (b, tp, 100))
+        batch = {"c": c, "refer": refer, "spec": jnp.zeros((b, t, 100)),
+                 "lengths": jnp.array([t]), "refer_lengths": jnp.array([tp])}
+        params = model.init(rng, batch, rng)
+        mel = generate_mel(model, params, c, refer, jnp.array([t]),
+                           jnp.array([tp]), rng, method=method, steps=steps)
+        assert mel.shape == (b, t, 100)
+        assert np.isfinite(np.asarray(mel)).all()

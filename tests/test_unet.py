@@ -1,0 +1,132 @@
+"""UNet1D parity vs the reference diffusers-fork UNet (random weights ->
+converter -> forward match), plus gradient/shape sanity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from ns2vc_tpu.models.unet import UNet1DConditionModel, get_timestep_embedding
+from ns2vc_tpu.ops.masking import sequence_mask
+from ns2vc_tpu.utils import convert_reference as cvt
+from tests.ref_oracle import load_reference_unet
+
+
+SMALL = dict(in_channels=12, out_channels=5, block_out_channels=(16, 24, 32, 40),
+             norm_num_groups=8, cross_attention_dim=20, attention_head_dim=4)
+
+
+def _ref_unet(reference_dir, **kw):
+    RefUNet, _ = load_reference_unet()
+    torch.manual_seed(0)
+    cfg = dict(SMALL, addition_embed_type="text",
+               resnet_time_scale_shift="scale_shift",
+               addition_embed_type_num_heads=4)
+    cfg.update(kw)
+    return RefUNet(**cfg).eval()
+
+
+def _mine_like(ref_cfg=SMALL):
+    return UNet1DConditionModel(
+        in_channels=ref_cfg["in_channels"],
+        out_channels=ref_cfg["out_channels"],
+        block_out_channels=ref_cfg["block_out_channels"],
+        norm_num_groups=ref_cfg["norm_num_groups"],
+        cross_attention_dim=ref_cfg["cross_attention_dim"],
+        num_attention_heads=ref_cfg["attention_head_dim"],
+        addition_embed_heads=4,
+    )
+
+
+class TestTimestepEmbedding:
+    def test_matches_reference(self, reference_dir):
+        _, embeddings = load_reference_unet()
+        t = torch.tensor([0.0, 1.0, 500.5, 999.0])
+        want = embeddings.get_timestep_embedding(
+            t, 128, flip_sin_to_cos=True, downscale_freq_shift=0.0).numpy()
+        got = np.asarray(get_timestep_embedding(jnp.asarray(t.numpy()), 128))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+class TestUNetParity:
+    @pytest.fixture(scope="class")
+    def pair(self, reference_dir):
+        ref = _ref_unet(reference_dir)
+        params = {"params": cvt.unet_condition(ref.state_dict())}
+        return ref, _mine_like(), params
+
+    def test_forward_matches(self, pair):
+        ref, mine, params = pair
+        b, t, tp = 2, 32, 11
+        torch.manual_seed(1)
+        sample = torch.randn(b, SMALL["in_channels"], t)
+        timesteps = torch.tensor([3, 777], dtype=torch.long)
+        ehs = torch.randn(b, tp, SMALL["cross_attention_dim"])
+        mask = torch.ones(b, tp, dtype=torch.bool)
+        mask[1, 6:] = False
+        with torch.no_grad():
+            want = ref(sample, timesteps, ehs,
+                       encoder_attention_mask=mask).sample.numpy()
+        got = mine.apply(
+            params, jnp.asarray(sample.numpy().transpose(0, 2, 1)),
+            jnp.asarray(timesteps.numpy()), jnp.asarray(ehs.numpy()),
+            encoder_attention_mask=jnp.asarray(mask.numpy()))
+        got = np.asarray(got).transpose(0, 2, 1)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-4)
+
+    def test_fractional_timesteps_match(self, pair):
+        """Samplers drive the UNet with continuous t (reference
+        sampler/dpm_solver.py:262-268)."""
+        ref, mine, params = pair
+        b, t, tp = 1, 16, 7
+        torch.manual_seed(2)
+        sample = torch.randn(b, SMALL["in_channels"], t)
+        timesteps = torch.tensor([123.456])
+        ehs = torch.randn(b, tp, SMALL["cross_attention_dim"])
+        with torch.no_grad():
+            want = ref(sample, timesteps, ehs).sample.numpy()
+        got = mine.apply(params, jnp.asarray(sample.numpy().transpose(0, 2, 1)),
+                         jnp.asarray(timesteps.numpy()), jnp.asarray(ehs.numpy()))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
+                                   atol=5e-4)
+
+
+class TestUNetTraining:
+    def test_grads_flow_everywhere(self):
+        mine = UNet1DConditionModel(**{k: v for k, v in SMALL.items()
+                                       if k != "attention_head_dim"},
+                                    num_attention_heads=4, addition_embed_heads=4)
+        rng = jax.random.PRNGKey(0)
+        b, t, tp = 2, 16, 9
+        sample = jnp.ones((b, t, SMALL["in_channels"]))
+        ehs = jnp.ones((b, tp, SMALL["cross_attention_dim"]))
+        mask = sequence_mask(jnp.array([9, 5]), tp)
+        params = mine.init(rng, sample, jnp.array([1, 2]), ehs, mask)
+
+        def loss(p):
+            out = mine.apply(p, sample, jnp.array([1, 2]), ehs, mask)
+            return jnp.mean(out ** 2)
+
+        grads = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_leaves_with_path(grads)
+        zero = [jax.tree_util.keystr(k) for k, g in flat
+                if float(jnp.abs(g).max()) == 0.0]
+        assert not zero, f"dead params: {zero[:8]}"
+
+    def test_remat_matches(self):
+        kw = {k: v for k, v in SMALL.items() if k != "attention_head_dim"}
+        plain = UNet1DConditionModel(**kw, num_attention_heads=4,
+                                     addition_embed_heads=4)
+        remat = UNet1DConditionModel(**kw, num_attention_heads=4,
+                                     addition_embed_heads=4, remat=True)
+        rng = jax.random.PRNGKey(1)
+        sample = jax.random.normal(rng, (1, 16, SMALL["in_channels"]))
+        ehs = jax.random.normal(rng, (1, 5, SMALL["cross_attention_dim"]))
+        params = plain.init(rng, sample, jnp.array([5]), ehs)
+        a = plain.apply(params, sample, jnp.array([5]), ehs)
+        b = remat.apply(params, sample, jnp.array([5]), ehs)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -1,0 +1,147 @@
+"""Vocos neural vocoder (mel -> waveform) in JAX.
+
+The reference uses the pip `vocos` package with the pretrained
+`charactr/vocos-mel-24khz` checkpoint as its mel decoder
+(reference model.py:9,762,690-691; inference/infer_tool.py:135).
+This is a from-scratch JAX implementation of that architecture
+(ConvNeXt-1D backbone, dim 512 x 8 blocks, intermediate 1536, iSTFT head
+with n_fft=1024/hop=256, 'same' padding), plus a converter for the public
+checkpoint's state dict (utils/convert_reference.py::vocos_params).
+
+TPU notes: depthwise conv via feature_group_count; the iSTFT head's
+overlap-add is the scatter-free hop-block reshape from audio/mel.py; the
+whole decode is one jitted program dominated by MXU matmuls
+(512x1536 pointwise layers).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ns2vc_tpu.audio.mel import _overlap_add, hann_window
+
+
+class ConvNeXtBlock(nn.Module):
+    """dwconv(k7) -> LN -> pw(1536) -> GELU -> pw(512) -> layer scale
+    -> residual. (B, T, C) layout."""
+
+    dim: int
+    intermediate_dim: int
+    layer_scale_init_value: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        residual = x
+        h = nn.Conv(self.dim, (7,), padding="SAME",
+                    feature_group_count=self.dim, name="dwconv")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        h = nn.Dense(self.intermediate_dim, name="pwconv1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, name="pwconv2")(h)
+        gamma = self.param("gamma",
+                           nn.initializers.constant(self.layer_scale_init_value),
+                           (self.dim,))
+        return residual + gamma * h
+
+
+class VocosBackbone(nn.Module):
+    """embed conv(k7) -> LN -> ConvNeXt x num_layers -> LN."""
+
+    input_channels: int = 100
+    dim: int = 512
+    intermediate_dim: int = 1536
+    num_layers: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Conv(self.dim, (7,), padding="SAME", name="embed")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        for i in range(self.num_layers):
+            h = ConvNeXtBlock(self.dim, self.intermediate_dim,
+                              1.0 / self.num_layers,
+                              name=f"convnext_{i}")(h)
+        return nn.LayerNorm(epsilon=1e-6, name="final_layer_norm")(h)
+
+
+class ISTFTHead(nn.Module):
+    """Linear -> (log-mag, phase) -> complex spectrum -> iSTFT with 'same'
+    padding: output length == T * hop."""
+
+    dim: int = 512
+    n_fft: int = 1024
+    hop_length: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.n_fft + 2, name="out")(x)      # (B, T, n_fft+2)
+        mag, phase = jnp.split(h, 2, axis=-1)
+        mag = jnp.exp(mag)
+        mag = jnp.clip(mag, max=1e2)
+        spec = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+        window = jnp.asarray(hann_window(self.n_fft))
+        frames = jnp.fft.irfft(spec, n=self.n_fft, axis=-1)
+        frames = frames * window
+        sig = _overlap_add(frames, self.hop_length)
+        wsq = jnp.broadcast_to(window * window, frames.shape[-2:])
+        env = _overlap_add(wsq, self.hop_length)
+        sig = sig / jnp.maximum(env, 1e-11)
+        pad = (self.n_fft - self.hop_length) // 2
+        return sig[..., pad:-pad]
+
+
+
+class Vocos(nn.Module):
+    """decode: (B, 100, T) or (B, T, 100) log-mel -> (B, T*hop) waveform."""
+
+    input_channels: int = 100
+    dim: int = 512
+    intermediate_dim: int = 1536
+    num_layers: int = 8
+    n_fft: int = 1024
+    hop_length: int = 256
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        if mel.shape[-1] != self.input_channels:   # accept (B, 100, T) too
+            mel = jnp.swapaxes(mel, -1, -2)
+        h = VocosBackbone(self.input_channels, self.dim, self.intermediate_dim,
+                          self.num_layers, name="backbone")(mel)
+        return ISTFTHead(self.dim, self.n_fft, self.hop_length,
+                         name="head")(h)
+
+    decode = __call__
+
+
+def convert_vocos_state_dict(sd) -> dict:
+    """Public charactr/vocos checkpoint (pytorch_model.bin state dict) ->
+    flax params for `Vocos`. Key layout per the public vocos repo:
+    backbone.embed/.norm/.convnext.{i}.{dwconv,norm,pwconv1,pwconv2,gamma}/
+    .final_layer_norm and head.out."""
+    from ns2vc_tpu.utils.convert_reference import _np, conv1d, layer_norm, linear
+
+    def dwconv(p):
+        # torch depthwise Conv1d weight (C, 1, K) -> flax (K, 1, C)
+        w = _np(sd[f"{p}.weight"])
+        return {"kernel": w.transpose(2, 1, 0), "bias": _np(sd[f"{p}.bias"])}
+
+    n_layers = 0
+    while f"backbone.convnext.{n_layers}.dwconv.weight" in sd:
+        n_layers += 1
+    backbone = {
+        "embed": conv1d(sd, "backbone.embed"),
+        "norm": layer_norm(sd, "backbone.norm"),
+        "final_layer_norm": layer_norm(sd, "backbone.final_layer_norm"),
+    }
+    for i in range(n_layers):
+        p = f"backbone.convnext.{i}"
+        backbone[f"convnext_{i}"] = {
+            "dwconv": dwconv(f"{p}.dwconv"),
+            "norm": layer_norm(sd, f"{p}.norm"),
+            "pwconv1": linear(sd, f"{p}.pwconv1"),
+            "pwconv2": linear(sd, f"{p}.pwconv2"),
+            "gamma": _np(sd[f"{p}.gamma"]),
+        }
+    return {"backbone": backbone, "head": {"out": linear(sd, "head.out")}}

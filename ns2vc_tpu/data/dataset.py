@@ -1,0 +1,248 @@
+"""Training/eval datasets and fixed-shape batching.
+
+Mirrors the reference data pipeline (dataset.py:15-180) with one TPU-first
+change: the collator pads every batch to a *fixed* geometry
+(max_content_frames / max_refer_frames from TrainConfig) instead of
+per-batch max+1 — XLA compiles the train step exactly once.
+
+Feature files: our preprocessor writes `.soft.npy` / `.f0.npy` /
+`.spec.npy`; datasets preprocessed by the reference (`.soft.pt` /
+`.spec.pt`, preprocess.py:37-60) load transparently when torch is
+available.
+
+The zero-shot training trick is preserved exactly (dataset.py:94-115
+random_slice): crop to <=400 mel frames, cut a random contiguous 1/3-2/3
+span as the *reference prompt*, splice the remainder as content/target.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import random
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ns2vc_tpu.audio.f0 import interpolate_f0
+from ns2vc_tpu.config import Config
+from ns2vc_tpu.utils.wavio import read_wav
+
+
+def _load_feature(path_no_ext: str, suffix: str) -> np.ndarray:
+    """Load `<path>.<suffix>.npy` or the reference's `.pt` equivalent."""
+    npy = path_no_ext + suffix + ".npy"
+    if os.path.exists(npy):
+        return np.load(npy)
+    pt = path_no_ext + suffix + ".pt"
+    if os.path.exists(pt):
+        import torch
+
+        return torch.load(pt, map_location="cpu").numpy()
+    raise FileNotFoundError(f"{npy} (or .pt)")
+
+
+def repeat_expand_2d(content: np.ndarray, target_len: int) -> np.ndarray:
+    """Nearest-neighbor frame-rate expansion (reference utils.py:482-496):
+    content (C, T_src) -> (C, target_len)."""
+    src_len = content.shape[-1]
+    pos = np.arange(src_len) * target_len / src_len
+    idx = np.zeros(target_len, dtype=np.int64)
+    current = 0
+    for i in range(target_len):
+        while current + 1 < src_len and pos[current + 1] <= i:
+            current += 1
+        idx[i] = current
+    return content[:, idx]
+
+
+class VCDataset:
+    """Training dataset (reference NS2VCDataset, dataset.py:53-125)."""
+
+    def __init__(self, audio_path: str, cfg: Config, all_in_mem: bool = False,
+                 seed: Optional[int] = None):
+        self.audiopaths = sorted(
+            glob.glob(os.path.join(audio_path, "**/*.wav"), recursive=True))
+        self.sampling_rate = cfg.data.sampling_rate
+        self.hop_length = cfg.data.hop_length
+        self.rng = random.Random(seed)
+        self.rng.shuffle(self.audiopaths)
+        self.all_in_mem = all_in_mem
+        if all_in_mem:
+            self.cache = [self.get_audio(p) for p in self.audiopaths]
+
+    def __len__(self):
+        return len(self.audiopaths)
+
+    def get_audio(self, filename: str):
+        """Load aligned (c, f0, spec, audio, uv) for one utterance
+        (reference dataset.py:73-92)."""
+        audio, sr = read_wav(filename)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=0)
+        if sr != self.sampling_rate:
+            import jax.numpy as jnp
+
+            from ns2vc_tpu.audio.resample import resample
+
+            audio = np.asarray(resample(jnp.asarray(audio), sr,
+                                        self.sampling_rate))
+        base = filename  # features live next to the wav, suffixed
+        spec = _load_feature(base.replace(".wav", ""), ".spec")
+        if spec.ndim == 3:
+            spec = spec[0]
+        f0_raw = np.load(filename + ".f0.npy")
+        f0, uv = interpolate_f0(f0_raw)
+        c = _load_feature(base, ".soft")
+        if c.ndim == 3:
+            c = c[0]
+        c = repeat_expand_2d(c, f0.shape[0])
+
+        lmin = min(c.shape[-1], spec.shape[-1])
+        assert abs(c.shape[-1] - spec.shape[-1]) < 3, (
+            c.shape, spec.shape, filename)
+        assert abs(audio.shape[-1] - lmin * self.hop_length) < 3 * self.hop_length
+        spec, c, f0, uv = spec[:, :lmin], c[:, :lmin], f0[:lmin], uv[:lmin]
+        audio = audio[: lmin * self.hop_length]
+        return c, f0, spec, audio, uv
+
+    def random_slice(self, c, f0, spec, audio, uv):
+        """Prompt/content split (reference dataset.py:94-115)."""
+        if spec.shape[1] < 30:
+            return None
+        if spec.shape[1] > 400:
+            start = self.rng.randint(0, spec.shape[1] - 400)
+            end = start + 400
+            spec, c, f0, uv = (spec[:, start:end], c[:, start:end],
+                               f0[start:end], uv[start:end])
+            audio = audio[start * self.hop_length : end * self.hop_length]
+        len_spec = spec.shape[1]
+        l = self.rng.randint(len_spec // 3, len_spec // 3 * 2)
+        u = self.rng.randint(0, len_spec - l)
+        v = u + l
+        refer = spec[:, u:v]
+        c = np.concatenate([c[:, :u], c[:, v:]], axis=-1)
+        f0 = np.concatenate([f0[:u], f0[v:]], axis=-1)
+        spec = np.concatenate([spec[:, :u], spec[:, v:]], axis=-1)
+        uv = np.concatenate([uv[:u], uv[v:]], axis=-1)
+        audio = np.concatenate([audio[: u * self.hop_length],
+                                audio[v * self.hop_length :]], axis=-1)
+        assert c.shape[1] != 0 and refer.shape[1] != 0
+        return refer, c, f0, spec, audio, uv
+
+    def __getitem__(self, index: int):
+        item = (self.cache[index] if self.all_in_mem
+                else self.get_audio(self.audiopaths[index]))
+        return self.random_slice(*item)
+
+
+class EvalDataset(VCDataset):
+    """Pairs item i with item (i+4) mod N as the reference speaker
+    (reference TestDataset, dataset.py:15-50)."""
+
+    def __getitem__(self, index: int):
+        a = (self.cache[index] if self.all_in_mem
+             else self.get_audio(self.audiopaths[index]))
+        b_idx = (index + 4) % len(self)
+        b = (self.cache[b_idx] if self.all_in_mem
+             else self.get_audio(self.audiopaths[b_idx]))
+        return (*a, *b)
+
+
+class FixedShapeCollator:
+    """Zero-pad a list of random_slice outputs to a fixed batch geometry
+    (replaces the reference's dynamic max+1 padding, dataset.py:128-180).
+    Returns a dict of numpy arrays in (B, T, C) layout."""
+
+    def __init__(self, cfg: Config):
+        self.t_c = cfg.train.max_content_frames
+        self.t_r = cfg.train.max_refer_frames
+        self.hop = cfg.data.hop_length
+
+    def __call__(self, batch: list) -> dict:
+        batch = [b for b in batch if b is not None]
+        assert batch, "empty batch after filtering short clips"
+        n = len(batch)
+        c_dim = batch[0][1].shape[0]
+        spec_dim = batch[0][3].shape[0]
+        out = {
+            "c": np.zeros((n, self.t_c, c_dim), np.float32),
+            "refer": np.zeros((n, self.t_r, spec_dim), np.float32),
+            "f0": np.zeros((n, self.t_c), np.float32),
+            "spec": np.zeros((n, self.t_c, spec_dim), np.float32),
+            "wav": np.zeros((n, self.t_c * self.hop), np.float32),
+            "uv": np.zeros((n, self.t_c), np.float32),
+            "lengths": np.zeros((n,), np.int32),
+            "refer_lengths": np.zeros((n,), np.int32),
+        }
+        for i, (refer, c, f0, spec, audio, uv) in enumerate(batch):
+            lc = min(c.shape[1], self.t_c)
+            lr = min(refer.shape[1], self.t_r)
+            lw = min(audio.shape[-1], self.t_c * self.hop)
+            out["lengths"][i] = lc
+            out["refer_lengths"][i] = lr
+            out["c"][i, :lc] = c[:, :lc].T
+            out["refer"][i, :lr] = refer[:, :lr].T
+            out["f0"][i, :lc] = f0[:lc]
+            out["spec"][i, :lc] = spec[:, :lc].T
+            out["wav"][i, :lw] = audio[:lw]
+            out["uv"][i, :lc] = uv[:lc]
+        return out
+
+
+def data_loader(dataset: VCDataset, collator: FixedShapeCollator,
+                batch_size: int, seed: int = 0, num_workers: int = 0,
+                drop_last: bool = True) -> Iterator[dict]:
+    """Infinite shuffled batch iterator with optional background prefetch
+    threads (the reference uses a 32-worker torch DataLoader,
+    model.py:777)."""
+    rng = random.Random(seed)
+    order: list[int] = []
+
+    def next_index():
+        nonlocal order
+        if not order:
+            order = list(range(len(dataset)))
+            rng.shuffle(order)
+        return order.pop()
+
+    def make_batch():
+        items = []
+        while len(items) < batch_size:
+            item = dataset[next_index()]
+            if item is not None:
+                items.append(item)
+        return collator.__call__(items)
+
+    if num_workers <= 0:
+        while True:
+            yield make_batch()
+
+    q: queue.Queue = queue.Queue(maxsize=max(2, num_workers * 2))
+    lock = threading.Lock()
+
+    def worker():
+        while True:
+            with lock:
+                try:
+                    items = [dataset[next_index()] for _ in range(batch_size)]
+                except Exception:  # propagate through the queue
+                    q.put(None)
+                    return
+            items = [i for i in items if i is not None]
+            while len(items) < batch_size:
+                with lock:
+                    extra = dataset[next_index()]
+                if extra is not None:
+                    items.append(extra)
+            q.put(collator(items))
+
+    for _ in range(num_workers):
+        threading.Thread(target=worker, daemon=True).start()
+    while True:
+        batch = q.get()
+        if batch is None:
+            raise RuntimeError("data worker failed")
+        yield batch

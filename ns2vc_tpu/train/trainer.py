@@ -1,0 +1,340 @@
+"""Training runtime: pjit data-parallel train step, optax AdamW, orbax
+checkpoints, TensorBoard logging, periodic sampled eval.
+
+Functional parity with the reference Trainer (model.py:748-946) plus the
+gaps it leaves open:
+- optimizer state IS checkpointed (the reference saves only
+  {'step','model'}, losing AdamW moments on resume — model.py:812-815);
+- the train step is one compiled XLA program over a ('data','model') mesh
+  (the reference re-dispatches per micro-batch through DDP);
+- gradient accumulation is a lax.scan inside the step (model.py:855-868);
+- global-norm clipping at 1.0 (model.py:871) via optax, and the grad norm
+  is logged from the same computation (no second pass like
+  model.py:736-745).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+from functools import partial
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ns2vc_tpu.config import Config, load_config
+from ns2vc_tpu.data.dataset import (
+    EvalDataset, FixedShapeCollator, VCDataset, data_loader,
+)
+from ns2vc_tpu.models.diffusion import NaturalSpeech2, generate_mel
+from ns2vc_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, param_shardings, shard_batch,
+)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    return optax.chain(
+        optax.clip_by_global_norm(t.grad_clip_norm),
+        optax.adamw(t.train_lr, b1=t.adam_betas[0], b2=t.adam_betas[1],
+                    eps=t.eps),
+    )
+
+
+def make_train_step(model: NaturalSpeech2, optimizer,
+                    accum: int = 1):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+    batch leaves have leading dim B = accum * micro_batch."""
+
+    def loss_fn(params, batch, rng):
+        loss, aux = model.apply(params, batch, rng, deterministic=False,
+                                rngs={"dropout": jax.random.fold_in(rng, 1)})
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        if accum <= 1:
+            (loss, aux), grads = grad_fn(state.params, batch, rng)
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+                batch)
+
+            def body(carry, xs):
+                g_acc, l_acc = carry
+                mb, i = xs
+                (l, _), g = grad_fn(state.params, mb,
+                                    jax.random.fold_in(rng, i))
+                return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss), _ = jax.lax.scan(
+                body, (zeros, 0.0), (micro, jnp.arange(accum)))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss = loss / accum
+            aux = {}
+
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        if "pred" in aux:
+            metrics["pred"] = aux["pred"]
+            metrics["target"] = aux["target"]
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return train_step
+
+
+class Trainer:
+    """End-to-end training driver (reference Trainer, model.py:748-946)."""
+
+    def __init__(self, cfg: Config | str | None = None,
+                 logs_folder: Optional[str] = None,
+                 vocos_params: Optional[dict] = None,
+                 mesh=None):
+        if isinstance(cfg, str):
+            cfg = load_config(cfg)
+        self.cfg = cfg or Config()
+        t = self.cfg.train
+
+        self.mesh = mesh or make_mesh(self.cfg.parallel.model_parallel_size)
+        self.model = NaturalSpeech2(self.cfg, remat=t.remat)
+        self.optimizer = make_optimizer(self.cfg)
+        self.accum = t.gradient_accumulate_every
+        self.rng = jax.random.PRNGKey(t.seed)
+        self.vocos_params = vocos_params
+
+        now = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+        self.logs_folder = logs_folder or os.path.join(t.logs_folder, now)
+        os.makedirs(self.logs_folder, exist_ok=True)
+
+        # data
+        ds = VCDataset(self.cfg.data.training_files, self.cfg,
+                       all_in_mem=t.all_in_mem, seed=t.seed)
+        self.ds = ds
+        self.dl = data_loader(ds, FixedShapeCollator(self.cfg),
+                              t.train_batch_size, seed=t.seed,
+                              num_workers=min(t.num_workers, 8))
+        try:
+            self.eval_ds = EvalDataset(self.cfg.data.val_files, self.cfg)
+            if len(self.eval_ds) == 0:
+                self.eval_ds = None
+        except Exception:
+            self.eval_ds = None
+
+        # state init, sharded over the mesh
+        sample_batch = self._dummy_batch()
+        init_rng, self.rng = jax.random.split(self.rng)
+
+        def init_fn(rng):
+            params = self.model.init(rng, sample_batch, rng)
+            return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                              opt_state=self.optimizer.init(params))
+
+        with self.mesh:
+            abstract = jax.eval_shape(init_fn, init_rng)
+            shardings = TrainState(
+                step=jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()),
+                params=param_shardings(abstract.params, self.mesh),
+                opt_state=jax.tree.map(
+                    lambda _: jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()),
+                    abstract.opt_state,
+                    is_leaf=lambda x: hasattr(x, "shape")),
+            )
+            # opt_state mirrors param shardings for the adamw moments
+            self.state = jax.jit(init_fn, out_shardings=shardings)(init_rng)
+            self._step_fn = jax.jit(
+                make_train_step(self.model, self.optimizer, self.accum),
+                in_shardings=(shardings, batch_sharding(self.mesh), None),
+                out_shardings=(shardings, None),
+                donate_argnums=(0,))
+
+        self._ckpt_mgr = None
+
+    # ------------------------------------------------------------------
+
+    def _dummy_batch(self) -> dict:
+        t = self.cfg.train
+        b = max(t.train_batch_size, 1)
+        tc, tr = t.max_content_frames, t.max_refer_frames
+        pe = self.cfg.phoneme_encoder
+        d = self.cfg.diffusion_encoder
+        return {
+            "c": jnp.zeros((b, tc, pe.in_channels), jnp.float32),
+            "refer": jnp.zeros((b, tr, self.cfg.prompt_encoder.in_channels)),
+            "spec": jnp.zeros((b, tc, d.in_channels), jnp.float32),
+            "f0": jnp.zeros((b, tc), jnp.float32),
+            "uv": jnp.zeros((b, tc), jnp.float32),
+            "wav": jnp.zeros((b, 8), jnp.float32),
+            "lengths": jnp.full((b,), tc, jnp.int32),
+            "refer_lengths": jnp.full((b,), tr, jnp.int32),
+        }
+
+    @property
+    def step(self) -> int:
+        return int(self.state.step)
+
+    # -- checkpointing ---------------------------------------------------
+
+    def _manager(self):
+        if self._ckpt_mgr is None:
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(os.path.join(self.logs_folder, "ckpt")),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.cfg.train.keep_ckpts, create=True))
+        return self._ckpt_mgr
+
+    def save(self, milestone: Optional[int] = None):
+        """Checkpoint params + optimizer state + step (fixes the
+        reference's optimizer-state loss, model.py:812-815)."""
+        import orbax.checkpoint as ocp
+
+        mgr = self._manager()
+        mgr.save(milestone if milestone is not None else self.step,
+                 args=ocp.args.StandardSave(
+                     jax.tree.map(np.asarray, self.state)))
+        mgr.wait_until_finished()
+
+    def load(self, step: Optional[int] = None, path: Optional[str] = None):
+        """Resume from orbax (or convert a reference .pt via
+        load_reference_checkpoint + load_torch)."""
+        import orbax.checkpoint as ocp
+
+        mgr = self._manager() if path is None else ocp.CheckpointManager(
+            os.path.abspath(path))
+        step = step if step is not None else mgr.latest_step()
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(
+                jax.tree.map(np.asarray, self.state)))
+        self.state = jax.device_put(self.state.replace(
+            step=jnp.asarray(restored.step),
+            params=restored.params, opt_state=restored.opt_state))
+
+    def load_torch(self, model_path: str):
+        """Warm-start from a reference `model-{N}.pt` (architecture-parity
+        weight migration)."""
+        from ns2vc_tpu.utils.convert_reference import load_reference_checkpoint
+
+        params, step = load_reference_checkpoint(model_path)
+        params = {"params": params}
+        target = jax.tree.map(np.asarray, self.state.params)
+        # shape check against current params
+        jax.tree.map(lambda a, b: None if a.shape == np.asarray(b).shape
+                     else (_ for _ in ()).throw(
+                         ValueError(f"shape mismatch {a.shape} vs {b.shape}")),
+                     target, params)
+        self.state = self.state.replace(
+            params=jax.device_put(params), step=jnp.asarray(step, jnp.int32))
+
+    # -- eval sampling -----------------------------------------------------
+
+    def sample_eval(self, rng: jax.Array):
+        """Sample one eval item (reference model.py:905-938). Returns
+        (mel (T,100), wav or None)."""
+        if self.eval_ds is None:
+            return None
+        c, f0, spec, audio, uv, c_r, f0_r, spec_r, audio_r, uv_r = \
+            self.eval_ds[self.step % len(self.eval_ds)]
+        t_pad = -(-c.shape[1] // 8) * 8
+        tr_pad = -(-spec_r.shape[1] // 8) * 8
+        c_in = np.zeros((1, t_pad, c.shape[0]), np.float32)
+        c_in[0, : c.shape[1]] = c.T
+        refer_in = np.zeros((1, tr_pad, spec_r.shape[0]), np.float32)
+        refer_in[0, : spec_r.shape[1]] = spec_r.T
+        mel = generate_mel(self.model, self.state.params, jnp.asarray(c_in),
+                           jnp.asarray(refer_in),
+                           jnp.asarray([c.shape[1]]),
+                           jnp.asarray([spec_r.shape[1]]), rng,
+                           method="unipc", steps=30)
+        mel = np.asarray(mel)[0, : c.shape[1]]
+        wav = None
+        if self.vocos_params is not None:
+            from ns2vc_tpu.models.vocos import Vocos
+
+            wav = np.asarray(Vocos().apply(self.vocos_params,
+                                           jnp.asarray(mel[None])))[0]
+        return mel, wav, spec, spec_r
+
+    # -- main loop ---------------------------------------------------------
+
+    def train(self, num_steps: Optional[int] = None):
+        from tensorboardX import SummaryWriter
+
+        from ns2vc_tpu.utils.plotting import plot_spectrogram_to_numpy
+
+        t = self.cfg.train
+        total = num_steps if num_steps is not None else t.train_num_steps
+        writer = SummaryWriter(self.logs_folder)
+        writer_eval = SummaryWriter(os.path.join(self.logs_folder, "eval"))
+        data_rng, eval_rng = jax.random.split(self.rng)
+
+        t0 = time.time()
+        while self.step < total:
+            batch = next(self.dl)
+            with self.mesh:
+                batch = shard_batch(batch, self.mesh)
+                self.state, metrics = self._step_fn(self.state, batch,
+                                                    data_rng)
+
+            step = self.step
+            if step % t.log_every == 0:
+                loss = float(metrics["loss"])
+                gn = float(metrics["grad_norm"])
+                sps = t.log_every / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                print(f"step {step} loss {loss:.4f} grad_norm {gn:.3f} "
+                      f"steps/s {sps:.2f}", flush=True)
+                writer.add_scalar("loss/diff", loss, step)
+                writer.add_scalar("loss/all", loss, step)
+                writer.add_scalar("loss/grad", gn, step)
+                writer.add_scalar("perf/steps_per_sec", sps, step)
+                if "pred" in metrics:
+                    writer.add_image(
+                        "all/spec", plot_spectrogram_to_numpy(
+                            np.asarray(metrics["target"])[0].T),
+                        step, dataformats="HWC")
+                    writer.add_image(
+                        "all/spec_pred", plot_spectrogram_to_numpy(
+                            np.asarray(metrics["pred"])[0].T),
+                        step, dataformats="HWC")
+
+            if step != 0 and step % t.save_and_sample_every == 0:
+                result = self.sample_eval(jax.random.fold_in(eval_rng, step))
+                if result is not None:
+                    mel, wav, gt_spec, refer_spec = result
+                    milestone = step // t.save_and_sample_every
+                    writer_eval.add_image(
+                        "gen/mel", plot_spectrogram_to_numpy(mel.T), step,
+                        dataformats="HWC")
+                    if wav is not None:
+                        from ns2vc_tpu.utils.wavio import write_wav
+
+                        write_wav(os.path.join(
+                            self.logs_folder, f"sample-{milestone}.wav"),
+                            wav, self.cfg.data.sampling_rate)
+                        writer_eval.add_audio(
+                            "gen/audio", wav[:, None], step,
+                            sample_rate=self.cfg.data.sampling_rate)
+                self.save()
+        print("training complete", flush=True)

@@ -1,0 +1,102 @@
+"""Trainer tests on the 8-device virtual CPU mesh: data-parallel step,
+gradient accumulation, checkpoint save/restore round trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ns2vc_tpu.config import (
+    Config, DataConfig, DiffusionEncoderConfig, EncoderConfig, TrainConfig,
+)
+
+
+def tiny_config(processed_dir, logdir, **train_kw):
+    train = dict(
+        train_batch_size=8, gradient_accumulate_every=1, train_lr=1e-4,
+        train_num_steps=3, save_and_sample_every=10_000, keep_ckpts=2,
+        max_content_frames=64, max_refer_frames=48, num_workers=0,
+        log_every=1, remat=False, seed=0,
+    )
+    train.update(train_kw)
+    return Config(
+        train=TrainConfig(**train),
+        data=DataConfig(training_files=processed_dir, val_files=processed_dir),
+        phoneme_encoder=EncoderConfig(n_layers=1),
+        prompt_encoder=EncoderConfig(in_channels=100, n_layers=1),
+        diffusion_encoder=DiffusionEncoderConfig(
+            block_out_channels=(16, 24, 32, 40)),
+    )
+
+
+@pytest.fixture(scope="module")
+def processed_dir(tmp_path_factory, reference_dir):
+    import shutil
+
+    torch = pytest.importorskip("torch")
+    from ns2vc_tpu.data.preprocess import preprocess_dataset
+
+    root = tmp_path_factory.mktemp("traindata")
+    in_dir = str(root / "raw")
+    for name in ["1", "2"]:
+        os.makedirs(f"{in_dir}/{name}", exist_ok=True)
+        shutil.copy(reference_dir / f"dataset/{name}/{name}.wav",
+                    f"{in_dir}/{name}/{name}.wav")
+    preprocess_dataset(in_dir, Config(), contentvec_ckpt=None, num_workers=1)
+    for name in ["1", "2"]:
+        c = torch.load(reference_dir / f"dataset/{name}/{name}.wav.soft.pt",
+                       map_location="cpu").numpy()
+        np.save(f"{in_dir}_processed/{name}/{name}.wav.soft.npy", c)
+    return f"{in_dir}_processed"
+
+
+class TestTrainer:
+    def test_train_steps_and_checkpoint(self, processed_dir, tmp_path):
+        from ns2vc_tpu.train.trainer import Trainer
+
+        assert len(jax.devices()) == 8
+        cfg = tiny_config(processed_dir, tmp_path)
+        tr = Trainer(cfg, logs_folder=str(tmp_path / "logs"))
+        tr.train(num_steps=3)
+        assert tr.step == 3
+
+        tr.save()
+        params_before = jax.tree.map(np.asarray, tr.state.params)
+
+        # new trainer restores params + opt state + step
+        tr2 = Trainer(cfg, logs_folder=tr.logs_folder)
+        tr2.load()
+        assert tr2.step == 3
+        leaves1 = jax.tree.leaves(params_before)
+        leaves2 = jax.tree.leaves(jax.tree.map(np.asarray, tr2.state.params))
+        for a, b in zip(leaves1, leaves2):
+            np.testing.assert_array_equal(a, b)
+
+    def test_grad_accumulation_matches_full_batch(self, processed_dir, tmp_path):
+        """accum=2 over the same data must match a single step numerically
+        (same per-micro-batch rng folding makes them differ in t draws, so
+        we check the looser contract: loss finite + params update)."""
+        from ns2vc_tpu.train.trainer import Trainer
+
+        cfg = tiny_config(processed_dir, tmp_path,
+                          gradient_accumulate_every=2, train_batch_size=8)
+        tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_accum"))
+        p0 = jax.tree.leaves(jax.tree.map(np.asarray, tr.state.params))[0].copy()
+        tr.train(num_steps=1)
+        p1 = jax.tree.leaves(jax.tree.map(np.asarray, tr.state.params))[0]
+        assert np.isfinite(p1).all()
+        assert not np.array_equal(p0, p1)
+
+    def test_eval_sampling(self, processed_dir, tmp_path):
+        from ns2vc_tpu.train.trainer import Trainer
+
+        cfg = tiny_config(processed_dir, tmp_path)
+        tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_eval"))
+        out = tr.sample_eval(jax.random.PRNGKey(0))
+        assert out is not None
+        mel, wav, gt, refer = out
+        assert mel.shape[1] == 100
+        assert np.isfinite(mel).all()

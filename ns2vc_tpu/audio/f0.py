@@ -311,15 +311,38 @@ def resize_f0(x: np.ndarray, target_len: int) -> np.ndarray:
 
 
 def compute_f0_dio(wav: np.ndarray, p_len: int | None = None,
-                   sampling_rate: int = 44100, hop_length: int = 512) -> np.ndarray:
+                   sampling_rate: int = 44100, hop_length: int = 512,
+                   use_native: bool | None = None) -> np.ndarray:
     """DIO + StoneMask + 0.1 Hz rounding + resize, matching the reference's
-    offline F0 pipeline (utils.py:182-195)."""
+    offline F0 pipeline (utils.py:182-195). Uses the C++ implementation
+    (ns2vc_tpu/native/dio.cc) when built, NumPy otherwise."""
+    import os
+
     wav = np.asarray(wav, dtype=np.float64)
     if p_len is None:
         p_len = wav.shape[0] // hop_length
-    f0, t = dio(wav, fs=sampling_rate, f0_ceil=800.0,
-                frame_period=1000.0 * hop_length / sampling_rate)
-    f0 = stonemask(wav, f0, t, sampling_rate)
+    frame_period = 1000.0 * hop_length / sampling_rate
+
+    if use_native is None:
+        use_native = os.environ.get("NS2VC_NO_NATIVE", "0") != "1"
+    native = None
+    if use_native:
+        try:
+            from ns2vc_tpu import native as native_mod
+
+            if native_mod.available():
+                native = native_mod
+        except Exception:
+            native = None
+
+    if native is not None:
+        f0, t = native.dio(wav, fs=sampling_rate, f0_ceil=800.0,
+                           frame_period=frame_period)
+        f0 = native.stonemask(wav, f0, t, sampling_rate)
+    else:
+        f0, t = dio(wav, fs=sampling_rate, f0_ceil=800.0,
+                    frame_period=frame_period)
+        f0 = stonemask(wav, f0, t, sampling_rate)
     f0 = np.round(f0, 1)
     return resize_f0(f0, p_len)
 

@@ -1,0 +1,144 @@
+"""CREPE pitch estimator (optional `--f0_mean_pooling` path).
+
+The reference exposes a torchcrepe-based F0 extractor
+(utils.py:82-94 `compute_f0_uv_torchcrepe`, wired to `--f0_mean_pooling`
+at infer.py:37/infer_tool.py:146) — which is actually *broken* upstream:
+it imports `modules.crepe`, a file the repo does not ship. This is a
+working JAX implementation of the CREPE architecture (Kim et al., 2018)
+with a converter for public torchcrepe weights.
+
+Model: 1024-sample 16 kHz frames, per-frame normalization, six
+conv+BN+maxpool blocks, a 2048->360 sigmoid classifier over 20-cent pitch
+bins. Decoding uses the local weighted average around the argmax bin
+("mean pooling") with a periodicity threshold for voicing.
+
+TPU notes: frames batch into one (N, 1024) tensor -> a single jitted
+forward; conv1's (512,1) kernel is an MXU matmul after im2col by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 'full' capacity; torchcrepe also ships 'tiny' (divide filters by 8)
+FULL_FILTERS = (1024, 128, 128, 128, 256, 512)
+TINY_FILTERS = (128, 16, 16, 16, 32, 64)
+WINDOW = 1024
+PITCH_BINS = 360
+CENTS_PER_BIN = 20.0
+
+
+def bins_to_cents(bins: jnp.ndarray) -> jnp.ndarray:
+    return CENTS_PER_BIN * bins + 1997.3794084376191
+
+
+def cents_to_frequency(cents: jnp.ndarray) -> jnp.ndarray:
+    return 10.0 * 2.0 ** (cents / 1200.0)
+
+
+class Crepe(nn.Module):
+    """(N, 1024) normalized frames -> (N, 360) bin probabilities."""
+
+    model: str = "full"
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray) -> jnp.ndarray:
+        filters = FULL_FILTERS if self.model == "full" else TINY_FILTERS
+        x = frames[:, :, None]  # (N, 1024, 1)
+        for i, ch in enumerate(filters):
+            kernel = 512 if i == 0 else 64
+            stride = 4 if i == 0 else 1
+            # torchcrepe pads (254,254) for layer 0 and (31,32) for others
+            pad = (254, 254) if i == 0 else (31, 32)
+            x = nn.Conv(ch, (kernel,), strides=(stride,), padding=[pad],
+                        name=f"conv{i + 1}")(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                             momentum=0.99, name=f"conv{i + 1}_BN")(x)
+            # maxpool (2, 1), stride 2 over time
+            x = nn.max_pool(x, (2,), strides=(2,))
+        x = x.reshape(x.shape[0], -1)
+        return nn.sigmoid(nn.Dense(PITCH_BINS, name="classifier")(x))
+
+
+def decode_weighted(probs: jnp.ndarray, radius: int = 4
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Local weighted-average decoding around the argmax bin
+    (torchcrepe's 'weighted_argmax'; the reference calls this mode
+    'mean pooling'). Returns (f0_hz, periodicity)."""
+    bins = jnp.argmax(probs, axis=-1)
+    periodicity = jnp.take_along_axis(probs, bins[:, None], axis=-1)[:, 0]
+    idx = bins[:, None] + jnp.arange(-radius, radius + 1)[None, :]
+    idx = jnp.clip(idx, 0, PITCH_BINS - 1)
+    w = jnp.take_along_axis(probs, idx, axis=-1)
+    cents = jnp.sum(bins_to_cents(idx.astype(jnp.float32)) * w, axis=-1) \
+        / jnp.maximum(jnp.sum(w, axis=-1), 1e-8)
+    return cents_to_frequency(cents), periodicity
+
+
+def compute_f0_uv_crepe(wav: np.ndarray, p_len: Optional[int] = None,
+                        sampling_rate: int = 44100, hop_length: int = 512,
+                        threshold: float = 0.05,
+                        model: Optional[Crepe] = None,
+                        params: Optional[dict] = None):
+    """Reference-compatible wrapper (utils.py:82-94): returns (f0, uv) at
+    the target frame rate with unvoiced gaps linearly interpolated."""
+    from ns2vc_tpu.audio.f0 import interpolate_f0, resize_f0
+    from ns2vc_tpu.audio.resample import resample
+
+    if model is None or params is None:
+        raise RuntimeError("crepe weights required: pass (model, params) "
+                           "from load_crepe()")
+    x = np.asarray(wav, np.float32)
+    if p_len is None:
+        p_len = x.shape[0] // hop_length
+    x16 = np.asarray(resample(jnp.asarray(x), sampling_rate, 16000))
+    hop16 = int(round(hop_length * 16000 / sampling_rate))
+    pad = WINDOW // 2
+    x16 = np.pad(x16, (pad, pad))
+    n_frames = 1 + (len(x16) - WINDOW) // hop16
+    idx = np.arange(n_frames)[:, None] * hop16 + np.arange(WINDOW)[None, :]
+    frames = x16[idx]
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    frames = frames / np.maximum(frames.std(axis=1, keepdims=True), 1e-10)
+
+    probs = model.apply(params, jnp.asarray(frames))
+    f0, periodicity = decode_weighted(probs)
+    f0 = np.where(np.asarray(periodicity) > threshold, np.asarray(f0), 0.0)
+    f0 = resize_f0(f0, p_len)
+    return interpolate_f0(f0)
+
+
+def convert_torchcrepe(sd, model: str = "full") -> dict:
+    """torchcrepe state dict -> flax params/batch_stats trees."""
+    from ns2vc_tpu.utils.convert_reference import _np
+
+    filters = FULL_FILTERS if model == "full" else TINY_FILTERS
+    params: dict = {}
+    stats: dict = {}
+    for i in range(len(filters)):
+        name = f"conv{i + 1}"
+        w = _np(sd[f"{name}.weight"])  # (O, 1, K, 1)
+        params[name] = {"kernel": w[:, :, :, 0].transpose(2, 1, 0),
+                        "bias": _np(sd[f"{name}.bias"])}
+        params[f"{name}_BN"] = {"scale": _np(sd[f"{name}_BN.weight"]),
+                                "bias": _np(sd[f"{name}_BN.bias"])}
+        stats[f"{name}_BN"] = {"mean": _np(sd[f"{name}_BN.running_mean"]),
+                               "var": _np(sd[f"{name}_BN.running_var"])}
+    params["classifier"] = {
+        "kernel": _np(sd["classifier.weight"]).T,
+        "bias": _np(sd["classifier.bias"]),
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def load_crepe(ckpt_path: str, model: str = "full"):
+    import torch
+
+    sd = torch.load(ckpt_path, map_location="cpu")
+    return Crepe(model=model), convert_torchcrepe(sd, model)

@@ -281,16 +281,27 @@ class Trainer:
     def train(self, num_steps: Optional[int] = None):
         from tensorboardX import SummaryWriter
 
+        from ns2vc_tpu.utils.logger import get_logger
         from ns2vc_tpu.utils.plotting import plot_spectrogram_to_numpy
+        from ns2vc_tpu.utils.profiling import profile_window_from_env
 
         t = self.cfg.train
         total = num_steps if num_steps is not None else t.train_num_steps
+        logger = get_logger(self.logs_folder)
         writer = SummaryWriter(self.logs_folder)
         writer_eval = SummaryWriter(os.path.join(self.logs_folder, "eval"))
         data_rng, eval_rng = jax.random.split(self.rng)
+        profile_window = profile_window_from_env()
 
         t0 = time.time()
         while self.step < total:
+            if profile_window is not None:
+                start, num = profile_window
+                if self.step == start:
+                    jax.profiler.start_trace(
+                        os.path.join(self.logs_folder, "profile"))
+                elif self.step == start + num:
+                    jax.profiler.stop_trace()
             batch = next(self.dl)
             with self.mesh:
                 batch = shard_batch(batch, self.mesh)
@@ -305,6 +316,7 @@ class Trainer:
                 t0 = time.time()
                 print(f"step {step} loss {loss:.4f} grad_norm {gn:.3f} "
                       f"steps/s {sps:.2f}", flush=True)
+                logger.info(f"Losses: [{loss}, 0], step: {step}")
                 writer.add_scalar("loss/diff", loss, step)
                 writer.add_scalar("loss/all", loss, step)
                 writer.add_scalar("loss/grad", gn, step)

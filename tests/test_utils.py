@@ -1,0 +1,133 @@
+"""Utility subsystem tests: model mixing, partial restore, config,
+profiling helpers, CREPE architecture + converter."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ns2vc_tpu.config import Config, load_config, save_config
+from ns2vc_tpu.utils.checkpoints import (
+    latest_checkpoint_path, mix_models, partial_restore,
+)
+
+
+class TestMixModels:
+    def test_weighted_mix(self):
+        a = {"w": jnp.ones((2, 2)), "b": jnp.zeros(2)}
+        b = {"w": jnp.full((2, 2), 3.0), "b": jnp.ones(2)}
+        out = mix_models([a, b], [0.25, 0.75])
+        np.testing.assert_allclose(np.asarray(out["w"]), 2.5)
+        np.testing.assert_allclose(np.asarray(out["b"]), 0.75)
+
+
+class TestPartialRestore:
+    def test_shape_tolerant(self):
+        target = {"a": jnp.zeros((2, 2)), "b": jnp.zeros(3), "c": jnp.zeros(1)}
+        restored = {"a": jnp.ones((2, 2)), "b": jnp.ones(4)}  # b mismatched
+        out = partial_restore(target, restored, verbose=False)
+        np.testing.assert_allclose(np.asarray(out["a"]), 1.0)
+        np.testing.assert_allclose(np.asarray(out["b"]), 0.0)  # kept
+        np.testing.assert_allclose(np.asarray(out["c"]), 0.0)  # missing kept
+
+
+class TestLatestCheckpoint:
+    def test_lookup(self, tmp_path):
+        for n in [3, 11, 7]:
+            os.makedirs(tmp_path / str(n))
+        assert latest_checkpoint_path(str(tmp_path)).endswith("11")
+        assert latest_checkpoint_path(str(tmp_path / "missing")) is None
+
+
+class TestConfig:
+    def test_roundtrip_reference_layout(self, tmp_path, reference_dir):
+        cfg = load_config(str(reference_dir / "config.json"))
+        assert cfg.train.train_batch_size == 32
+        assert cfg.train.timesteps == 1000
+        assert cfg.data.sampling_rate == 24000
+        assert cfg.phoneme_encoder.n_layers == 6
+        assert cfg.prompt_encoder.in_channels == 100
+        assert cfg.f0_predictor.attention_layers == 10
+        p = tmp_path / "cfg.json"
+        save_config(cfg, str(p))
+        cfg2 = load_config(str(p))
+        assert cfg2 == cfg
+
+    def test_unknown_keys_ignored(self, tmp_path):
+        p = tmp_path / "c.json"
+        p.write_text('{"train": {"train_lr": 0.5, "bogus": 1}, "extra": {}}')
+        cfg = load_config(str(p))
+        assert cfg.train.train_lr == 0.5
+
+
+class TestProfiling:
+    def test_env_window_parse(self, monkeypatch):
+        from ns2vc_tpu.utils.profiling import profile_window_from_env
+
+        monkeypatch.setenv("NS2VC_PROFILE_AT", "100:5")
+        assert profile_window_from_env() == (100, 5)
+        monkeypatch.setenv("NS2VC_PROFILE_AT", "junk")
+        assert profile_window_from_env() is None
+        monkeypatch.delenv("NS2VC_PROFILE_AT")
+        assert profile_window_from_env() is None
+
+    def test_trace_context(self, tmp_path):
+        from ns2vc_tpu.utils.profiling import annotate, trace
+
+        with trace(str(tmp_path)):
+            with annotate("test_region"):
+                jnp.ones(4).block_until_ready()
+        # a trace directory should have been produced
+        assert any(tmp_path.iterdir())
+
+
+class TestCrepe:
+    def test_forward_shape(self):
+        from ns2vc_tpu.features.crepe import Crepe, PITCH_BINS, WINDOW
+
+        model = Crepe(model="tiny")
+        frames = jnp.zeros((3, WINDOW))
+        variables = model.init(jax.random.PRNGKey(0), frames)
+        probs = model.apply(variables, frames)
+        assert probs.shape == (3, PITCH_BINS)
+        assert (np.asarray(probs) >= 0).all() and (np.asarray(probs) <= 1).all()
+
+    def test_decode_weighted(self):
+        from ns2vc_tpu.features.crepe import (
+            bins_to_cents, cents_to_frequency, decode_weighted,
+        )
+
+        probs = np.zeros((1, 360), np.float32)
+        probs[0, 180] = 1.0
+        f0, per = decode_weighted(jnp.asarray(probs))
+        want = float(cents_to_frequency(bins_to_cents(jnp.array(180.0))))
+        np.testing.assert_allclose(float(f0[0]), want, rtol=1e-5)
+        assert float(per[0]) == 1.0
+
+    def test_converter(self):
+        torch = pytest.importorskip("torch")
+        from ns2vc_tpu.features.crepe import (
+            Crepe, TINY_FILTERS, WINDOW, convert_torchcrepe,
+        )
+
+        torch.manual_seed(0)
+        sd = {}
+        in_ch = 1
+        for i, ch in enumerate(TINY_FILTERS):
+            k = 512 if i == 0 else 64
+            sd[f"conv{i+1}.weight"] = torch.randn(ch, in_ch, k, 1)
+            sd[f"conv{i+1}.bias"] = torch.randn(ch)
+            sd[f"conv{i+1}_BN.weight"] = torch.randn(ch)
+            sd[f"conv{i+1}_BN.bias"] = torch.randn(ch)
+            sd[f"conv{i+1}_BN.running_mean"] = torch.randn(ch)
+            sd[f"conv{i+1}_BN.running_var"] = torch.rand(ch) + 0.5
+            in_ch = ch
+        sd["classifier.weight"] = torch.randn(360, 2048 // 8)
+        sd["classifier.bias"] = torch.randn(360)
+        variables = convert_torchcrepe(sd, model="tiny")
+        probs = Crepe(model="tiny").apply(variables, jnp.zeros((2, WINDOW)))
+        assert probs.shape == (2, 360)
+        assert np.isfinite(np.asarray(probs)).all()

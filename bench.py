@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("NS2VC_CACHE", "/tmp/ns2vc_jax_cache_tpu"))
+                  os.environ.get("NS2VC_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
@@ -69,8 +69,16 @@ def main():
     vparams = _init_on_cpu(vocos.init, rng, jnp.zeros((B, T, 100)))
     schedule = NoiseSchedule(cfg.train.timesteps)
 
+    from ns2vc_tpu.utils.precision import cast_floating
+
     @jax.jit
     def synthesize(params, vparams, c, refer, lengths, refer_lengths, noise):
+        # bf16 activations + params (f32 norm reductions / softmax inside)
+        params = cast_floating(params, jnp.bfloat16)
+        vparams = cast_floating(vparams, jnp.bfloat16)
+        c = c.astype(jnp.bfloat16)
+        refer = refer.astype(jnp.bfloat16)
+        noise = noise.astype(jnp.bfloat16)
         c_mask = sequence_mask(lengths, c.shape[1])
         refer_mask = sequence_mask(refer_lengths, refer.shape[1])
         content, prompt = model.apply(params, c, refer, c_mask, refer_mask,
@@ -81,7 +89,7 @@ def main():
                                method=NaturalSpeech2.denoise)
 
         mel = unipc_sample(x0_fn, noise, schedule, steps=STEPS)
-        return vocos.apply(vparams, mel)
+        return vocos.apply(vparams, mel).astype(jnp.float32)
 
     noise = jax.random.normal(rng, (B, T, 100))
     args = (params, vparams, batch["c"], batch["refer"], batch["lengths"],

@@ -54,9 +54,10 @@ def ddpm_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
         key, sub = jax.random.split(key)
         t_b = jnp.full((x.shape[0],), t, jnp.float32)
         x0 = x0_fn(x, t_b)
-        mean = c1[t] * x0 + c2[t] * x
+        mean = c1[t].astype(x.dtype) * x0 + c2[t].astype(x.dtype) * x
         noise = jax.random.normal(sub, x.shape, x.dtype)
-        x = mean + jnp.where(t > 0, jnp.exp(0.5 * logvar[t]), 0.0) * noise
+        sigma = jnp.where(t > 0, jnp.exp(0.5 * logvar[t]), 0.0)
+        x = mean + sigma.astype(x.dtype) * noise
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(n - 1, -1, -1))
@@ -91,7 +92,9 @@ def ddim_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
 
     def body(carry, c):
         x, key = carry
-        t, sqrt_an, cn, sigma, srt, srm1t = (c[i] for i in range(6))
+        t = c[0]
+        sqrt_an, cn, sigma, srt, srm1t = (c[i].astype(x.dtype)
+                                          for i in range(1, 6))
         x0 = x0_fn(x, jnp.full((x.shape[0],), t))
         pred_noise = (srt * x - x0) / srm1t
         key, sub = jax.random.split(key)
@@ -132,8 +135,9 @@ def dpmpp_2m_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray,
 
     x = x_T
     m0 = eval_m(x, 0)
-    # first update: order 1 (dpm_solver.py:547-592, dpmsolver++)
-    x = np.float32(sig_ratio[0]) * x - np.float32(aphi[0]) * m0
+    # first update: order 1 (dpm_solver.py:547-592, dpmsolver++).
+    # python-float scalars are weak-typed: bf16 inputs stay bf16.
+    x = float(sig_ratio[0]) * x - float(aphi[0]) * m0
     m1, m0 = m0, eval_m(x, 1)
 
     # middle updates 2..steps-1: order 2 + model eval
@@ -144,7 +148,7 @@ def dpmpp_2m_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray,
 
     def body(carry, c):
         x, m0, m1 = carry
-        sr, ap, inv_r0, ti = (c[i] for i in range(4))
+        sr, ap, inv_r0, ti = (c[i].astype(x.dtype) for i in range(4))
         d = inv_r0 * (m0 - m1)
         x = sr * x - ap * (m0 + 0.5 * d)
         m_new = x0_fn(x, jnp.full((x.shape[0],), ti))
@@ -154,8 +158,8 @@ def dpmpp_2m_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray,
 
     # final update: order 2, no trailing model eval (steps >= 10 keeps
     # order 2 at the end — dpm_solver.py:1196-1200)
-    d = (m0 - m1) / np.float32(r0[-1])
-    x = np.float32(sig_ratio[-1]) * x - np.float32(aphi[-1]) * (m0 + 0.5 * d)
+    d = (m0 - m1) / float(r0[-1])
+    x = float(sig_ratio[-1]) * x - float(aphi[-1]) * (m0 + 0.5 * d)
     return x
 
 
@@ -187,10 +191,11 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
 
     x = x_T
     m0 = eval_m(x, 0)
-    # update 1: order 1 with corrector (rho_c = [0.5])
-    x_ = np.float32(sig_ratio[0]) * x - np.float32(aphi[0]) * m0
+    # update 1: order 1 with corrector (rho_c = [0.5]); python-float
+    # scalars are weak-typed so bf16 inputs stay bf16
+    x_ = float(sig_ratio[0]) * x - float(aphi[0]) * m0
     m_t = eval_m(x_, 1)  # corrector model eval at the predictor point (= x_)
-    x = x_ - np.float32(a_bh[0]) * 0.5 * (m_t - m0)
+    x = x_ - float(a_bh[0]) * 0.5 * (m_t - m0)
     m1, m0 = m0, m_t
 
     # updates 2..steps-1: order 2 predictor + corrector
@@ -200,7 +205,8 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
 
     def body(carry, c):
         x, m0, m1 = carry
-        sr, ap, abh, inv_r0, p1, p2, ti = (c[i] for i in range(7))
+        sr, ap, abh, inv_r0, p1, p2, ti = (c[i].astype(x.dtype)
+                                           for i in range(7))
         d1_0 = inv_r0 * (m1 - m0)
         x_ = sr * x - ap * m0
         x_p = x_ - abh * 0.5 * d1_0                      # predictor (rho_p=0.5)
@@ -212,7 +218,7 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
 
     # final update (step == steps): order 1, no corrector
     # (uni_pc.py:636-644: step_order = min(order, steps + 1 - step) = 1)
-    x = np.float32(sig_ratio[-1]) * x - np.float32(aphi[-1]) * m0
+    x = float(sig_ratio[-1]) * x - float(aphi[-1]) * m0
     return x
 
 

@@ -143,6 +143,9 @@ class NaturalSpeech2(nn.Module):
         model_out = self.diff_model(x_t, content, prompt, refer_mask,
                                     t.astype(jnp.float32))
 
+        # loss in float32 regardless of compute dtype
+        model_out = model_out.astype(jnp.float32)
+        x_start = x_start.astype(jnp.float32)
         loss = (model_out - x_start) ** 2
         loss = jnp.mean(loss.reshape(b, -1), axis=-1)
         weight = jnp.asarray(self.schedule.snr, jnp.float32)[t]

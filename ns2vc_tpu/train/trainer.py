@@ -54,11 +54,17 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_train_step(model: NaturalSpeech2, optimizer,
-                    accum: int = 1):
+                    accum: int = 1, compute_dtype=None):
     """Returns train_step(state, batch, rng) -> (state, metrics).
-    batch leaves have leading dim B = accum * micro_batch."""
+    batch leaves have leading dim B = accum * micro_batch.
+    compute_dtype=bfloat16 casts params+batch at apply time (f32 master
+    params; see utils/precision.py)."""
+    from ns2vc_tpu.utils.precision import cast_floating
 
     def loss_fn(params, batch, rng):
+        if compute_dtype is not None and compute_dtype != jnp.float32:
+            params = cast_floating(params, compute_dtype)
+            batch = cast_floating(batch, compute_dtype)
         loss, aux = model.apply(params, batch, rng, deterministic=False,
                                 rngs={"dropout": jax.random.fold_in(rng, 1)})
         return loss, aux
@@ -162,8 +168,11 @@ class Trainer:
             )
             # opt_state mirrors param shardings for the adamw moments
             self.state = jax.jit(init_fn, out_shardings=shardings)(init_rng)
+            from ns2vc_tpu.utils.precision import resolve_dtype
+
             self._step_fn = jax.jit(
-                make_train_step(self.model, self.optimizer, self.accum),
+                make_train_step(self.model, self.optimizer, self.accum,
+                                compute_dtype=resolve_dtype(t.compute_dtype)),
                 in_shardings=(shardings, batch_sharding(self.mesh), None),
                 out_shardings=(shardings, None),
                 donate_argnums=(0,))

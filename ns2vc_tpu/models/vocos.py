@@ -77,8 +77,10 @@ class ISTFTHead(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = nn.Dense(self.n_fft + 2, name="out")(x)      # (B, T, n_fft+2)
         mag, phase = jnp.split(h, 2, axis=-1)
-        mag = jnp.exp(mag)
+        # spectral synthesis in f32 regardless of compute dtype (audio path)
+        mag = jnp.exp(mag.astype(jnp.float32))
         mag = jnp.clip(mag, max=1e2)
+        phase = phase.astype(jnp.float32)
         spec = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
         window = jnp.asarray(hann_window(self.n_fft))

@@ -22,6 +22,11 @@ class TrainConfig:
     train_lr: float = 1e-4
     train_num_steps: int = 1_000_000
     adam_betas: Tuple[float, float] = (0.9, 0.99)
+    ema_update_every: int = 10
+    ema_decay: float = 0.995
+    use_ema: bool = False    # reference config carries EMA fields its
+                             # Trainer never applies (config.json:8-9);
+                             # opt in here to actually maintain EMA params
     save_and_sample_every: int = 1000
     timesteps: int = 1000
     sampling_timesteps: int = 1000

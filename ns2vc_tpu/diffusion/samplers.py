@@ -120,33 +120,107 @@ def _fast_sampler_consts(schedule: NoiseSchedule, steps: int):
 
 
 def dpmpp_2m_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray,
-                    schedule: NoiseSchedule, steps: int = 40) -> jnp.ndarray:
-    """DPM-Solver++ multistep order 2, time_uniform, 'dpmsolver' variant
-    (reference defaults at model.py:620-653). steps NFE total."""
-    assert steps >= 3
+                    schedule: NoiseSchedule, steps: int = 40,
+                    order: int = 2) -> jnp.ndarray:
+    """DPM-Solver++ multistep (orders 1-3), time_uniform, 'dpmsolver'
+    variant (reference defaults at model.py:620-653; order-3 math from
+    sampler/dpm_solver.py:855-904). steps NFE total.
+
+    Matches the reference driver for steps >= 10 (constant order after the
+    low-order warm-up; reference dpm_solver.py:1196-1200 only lowers the
+    final orders when steps < 10)."""
+    assert order in (1, 2, 3)
+    assert steps >= order + 1
+    if order == 3:
+        assert steps >= 10, "order-3 tail lowering (steps<10) not implemented"
     _, lam, alpha, sigma, t_in = _fast_sampler_consts(schedule, steps)
     h = lam[1:] - lam[:-1]                                # h_i for update i+1
     sig_ratio = sigma[1:] / sigma[:-1]
-    aphi = alpha[1:] * np.expm1(-h)
-    r0 = np.concatenate([[1.0], h[:-1] / h[1:]])          # r0 for update i>=2
+    phi_1 = np.expm1(-h)
+    aphi1 = alpha[1:] * phi_1
+    aphi2 = alpha[1:] * (phi_1 / h + 1.0)
+    aphi3 = alpha[1:] * ((phi_1 / h + 1.0) / h - 0.5)
 
     def eval_m(x, i):
         return x0_fn(x, jnp.full((x.shape[0],), np.float32(t_in[i])))
 
+    def first_update(x, m0, i):
+        # order 1 (dpm_solver.py:547-592, dpmsolver++); python-float
+        # scalars are weak-typed: bf16 inputs stay bf16
+        return float(sig_ratio[i]) * x - float(aphi1[i]) * m0
+
+    def second_update(x, m0, m1, i):
+        r0 = h[i - 1] / h[i]
+        d = (m0 - m1) / float(r0)
+        return float(sig_ratio[i]) * x - float(aphi1[i]) * (m0 + 0.5 * d)
+
+    def third_update(x, m0, m1, m2, i):
+        r0 = float(h[i - 1] / h[i])
+        r1 = float(h[i - 2] / h[i])
+        d1_0 = (m0 - m1) / r0
+        d1_1 = (m1 - m2) / r1
+        d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+        d2 = (d1_0 - d1_1) / (r0 + r1)
+        return (float(sig_ratio[i]) * x - float(aphi1[i]) * m0
+                + float(aphi2[i]) * d1 - float(aphi3[i]) * d2)
+
     x = x_T
     m0 = eval_m(x, 0)
-    # first update: order 1 (dpm_solver.py:547-592, dpmsolver++).
-    # python-float scalars are weak-typed: bf16 inputs stay bf16.
-    x = float(sig_ratio[0]) * x - float(aphi[0]) * m0
+    x = first_update(x, m0, 0)
     m1, m0 = m0, eval_m(x, 1)
 
-    # middle updates 2..steps-1: order 2 + model eval
-    idx = np.arange(2, steps)  # updates to ts[2..steps-1]
-    consts = jnp.asarray(np.stack([
-        sig_ratio[1:-1], aphi[1:-1], 1.0 / r0[1:-1],
-        t_in[2:steps]], axis=1).astype(np.float32))
+    # scan covers updates to ts[j] for j in [order, steps-1] (h-index j-1),
+    # each followed by a model eval at j; the final update to ts[steps]
+    # (h-index steps-1) runs outside the scan with no trailing eval
+    if order == 1:
+        idx = np.arange(1, steps - 1)
+        consts = jnp.asarray(np.stack(
+            [sig_ratio[idx], aphi1[idx], t_in[idx + 1]], axis=1
+        ).astype(np.float32))
 
-    def body(carry, c):
+        def body1(carry, c):
+            x, m0 = carry
+            sr, ap, ti = (c[i].astype(x.dtype) for i in range(3))
+            x = sr * x - ap * m0
+            return (x, x0_fn(x, jnp.full((x.shape[0],), ti))), None
+
+        (x, m0), _ = jax.lax.scan(body1, (x, m0), consts)
+        return first_update(x, m0, steps - 1)
+
+    if order == 3:
+        # one order-2 warm-up step (update to ts[2]) before the order-3 scan
+        x = second_update(x, m0, m1, 1)
+        m2, m1, m0 = m1, m0, eval_m(x, 2)
+        idx = np.arange(2, steps - 1)
+        r0s = h[idx - 1] / h[idx]
+        r1s = h[idx - 2] / h[idx]
+        consts = jnp.asarray(np.stack(
+            [sig_ratio[idx], aphi1[idx], aphi2[idx], aphi3[idx],
+             1.0 / r0s, 1.0 / r1s, r0s / (r0s + r1s), 1.0 / (r0s + r1s),
+             t_in[idx + 1]], axis=1).astype(np.float32))
+
+        def body3(carry, c):
+            x, m0, m1, m2 = carry
+            (sr, ap1, ap2, ap3, inv_r0, inv_r1, w01, inv_r01,
+             ti) = (c[i].astype(x.dtype) for i in range(9))
+            d1_0 = inv_r0 * (m0 - m1)
+            d1_1 = inv_r1 * (m1 - m2)
+            d1 = d1_0 + w01 * (d1_0 - d1_1)
+            d2 = inv_r01 * (d1_0 - d1_1)
+            x = sr * x - ap1 * m0 + ap2 * d1 - ap3 * d2
+            m_new = x0_fn(x, jnp.full((x.shape[0],), ti))
+            return (x, m_new, m0, m1), None
+
+        (x, m0, m1, m2), _ = jax.lax.scan(body3, (x, m0, m1, m2), consts)
+        return third_update(x, m0, m1, m2, steps - 1)
+
+    idx = np.arange(1, steps - 1)
+    r0s = h[idx - 1] / h[idx]
+    consts = jnp.asarray(np.stack(
+        [sig_ratio[idx], aphi1[idx], 1.0 / r0s, t_in[idx + 1]],
+        axis=1).astype(np.float32))
+
+    def body2(carry, c):
         x, m0, m1 = carry
         sr, ap, inv_r0, ti = (c[i].astype(x.dtype) for i in range(4))
         d = inv_r0 * (m0 - m1)
@@ -154,71 +228,161 @@ def dpmpp_2m_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray,
         m_new = x0_fn(x, jnp.full((x.shape[0],), ti))
         return (x, m_new, m0), None
 
-    (x, m0, m1), _ = jax.lax.scan(body, (x, m0, m1), consts)
-
-    # final update: order 2, no trailing model eval (steps >= 10 keeps
-    # order 2 at the end — dpm_solver.py:1196-1200)
-    d = (m0 - m1) / float(r0[-1])
-    x = float(sig_ratio[-1]) * x - float(aphi[-1]) * (m0 + 0.5 * d)
-    return x
+    (x, m0, m1), _ = jax.lax.scan(body2, (x, m0, m1), consts)
+    return second_update(x, m0, m1, steps - 1)
 
 
 def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
-                 steps: int = 30) -> jnp.ndarray:
-    """UniPC variant bh2, order 2 multistep with corrector, predict_x0
-    (reference defaults at model.py:654-687; math from
-    sampler/uni_pc.py:472-590). steps NFE total."""
-    assert steps >= 3
+                 steps: int = 30, order: int = 2) -> jnp.ndarray:
+    """UniPC variant bh2, multistep predictor-corrector orders 1-3,
+    predict_x0 (reference defaults at model.py:654-687; math from
+    sampler/uni_pc.py:472-590; order-k rho systems solved on the host).
+
+    Follows the reference driver exactly: low-order warm-up, order-k body
+    with corrector, and lower_order_final tail (the last k-1 updates drop
+    to orders k-1..1; the final update runs without corrector,
+    uni_pc.py:636-644). steps NFE total."""
+    assert order in (1, 2, 3)
+    assert steps >= order + 1
     _, lam, alpha, sigma, t_in = _fast_sampler_consts(schedule, steps)
     h = lam[1:] - lam[:-1]
     hh = -h                                        # predict_x0
     h_phi_1 = np.expm1(hh)
     b_h = np.expm1(hh)                             # bh2: B_h = expm1(hh)
-    b1 = (h_phi_1 / hh - 1.0) / b_h
-    b2 = 2.0 * ((h_phi_1 / hh - 1.0) / hh - 0.5) / b_h
+    # b_i sequence (uni_pc.py:506-522)
+    h_phi_k = h_phi_1 / hh - 1.0
+    b1 = h_phi_k / b_h
+    h_phi_k = h_phi_k / hh - 0.5
+    b2 = h_phi_k * 2.0 / b_h
+    h_phi_k = h_phi_k / hh - 1.0 / 6.0
+    b3 = h_phi_k * 6.0 / b_h
     sig_ratio = sigma[1:] / sigma[:-1]
     aphi = alpha[1:] * h_phi_1
     a_bh = alpha[1:] * b_h
-    # r0 for update i (i >= 2): (lambda_{i-2} - lambda_{i-1}) / h_i
-    # (index 0 is a placeholder — update 1 is order 1 and never reads it)
-    r0 = np.concatenate([[0.5], (lam[:-2] - lam[1:-1]) / h[1:]])
-    # order-2 corrector rhos: [[1, 1], [r0, 1]] @ rho = [b1, b2]
-    rho1 = (b1 - b2) / (1.0 - r0)
-    rho2 = b1 - rho1
+
+    def rks(i, k):
+        """[r_1, ..., r_{k-1}] for the update with h-index i:
+        r_j = (lambda_{i-j} - lambda_i) / h_i (uni_pc.py:486-494,
+        with lambda_prev_0 = lam[i])."""
+        return [float((lam[i - j] - lam[i]) / h[i]) for j in range(1, k)]
+
+    def rho_c(i, k):
+        """order-k corrector weights: solve R rho = b with
+        R rows rks^(p-1), rks = [r_1..r_{k-1}, 1]."""
+        if k == 1:
+            return np.array([0.5])
+        r = np.array(rks(i, k) + [1.0])
+        R = np.stack([r ** p for p in range(k)])
+        b = np.array([b1[i], b2[i], b3[i]][:k])
+        return np.linalg.solve(R, b)
+
+    def rho_p(i, k):
+        """order-k predictor weights over the k-1 D1 terms."""
+        if k == 2:
+            return np.array([0.5])
+        r = np.array(rks(i, k))
+        R = np.stack([r ** p for p in range(k - 1)])
+        b = np.array([b1[i], b2[i], b3[i]][: k - 1])
+        return np.linalg.solve(R, b)
 
     def eval_m(x, i):
         return x0_fn(x, jnp.full((x.shape[0],), np.float32(t_in[i])))
 
+    def d1s(i, k, m0, m1, m2):
+        r = rks(i, k)
+        out = [(m1 - m0) / r[0]]
+        if k >= 3:
+            out.append((m2 - m0) / r[1])
+        return out
+
+    def update(x, i, k, m0, m1, m2, use_corrector):
+        """One multistep bh update with h-index i at order k."""
+        x_ = float(sig_ratio[i]) * x - float(aphi[i]) * m0
+        ds = d1s(i, k, m0, m1, m2) if k >= 2 else []
+        if ds:
+            p = rho_p(i, k)
+            x_t = x_ - float(a_bh[i]) * sum(
+                float(p[j]) * ds[j] for j in range(len(ds)))
+        else:
+            x_t = x_
+        if not use_corrector:
+            return x_t, None
+        m_t = eval_m(x_t, i + 1)
+        c = rho_c(i, k)
+        corr = float(c[-1]) * (m_t - m0)
+        for j in range(len(ds)):
+            corr = corr + float(c[j]) * ds[j]
+        return x_ - float(a_bh[i]) * corr, m_t
+
     x = x_T
     m0 = eval_m(x, 0)
-    # update 1: order 1 with corrector (rho_c = [0.5]); python-float
-    # scalars are weak-typed so bf16 inputs stay bf16
-    x_ = float(sig_ratio[0]) * x - float(aphi[0]) * m0
-    m_t = eval_m(x_, 1)  # corrector model eval at the predictor point (= x_)
-    x = x_ - float(a_bh[0]) * 0.5 * (m_t - m0)
-    m1, m0 = m0, m_t
+    m1 = m2 = m0
+    # warm-up: updates 1..order-1 at increasing orders, with corrector
+    hi = 0
+    for k in range(1, order):
+        x, m_t = update(x, hi, k, m0, m1, m2, use_corrector=True)
+        m2, m1, m0 = m1, m0, m_t
+        hi += 1
 
-    # updates 2..steps-1: order 2 predictor + corrector
-    consts = jnp.asarray(np.stack([
-        sig_ratio[1:-1], aphi[1:-1], a_bh[1:-1], 1.0 / r0[1:-1],
-        rho1[1:-1], rho2[1:-1], t_in[2:steps]], axis=1).astype(np.float32))
+    # homogeneous body: order `order` with corrector, h-index
+    # hi .. steps-1-(order-1)-1 ... the tail lowers order
+    # (lower_order_final): update with h-index steps-1-j runs at order
+    # min(order, j+1); the final update (j=0) skips the corrector.
+    body_end = steps - order  # h-indices [hi, body_end) run at full order
+    if body_end > hi and order == 1:
+        idx = np.arange(hi, body_end)
+        consts = jnp.asarray(np.stack(
+            [sig_ratio[idx], aphi[idx], a_bh[idx], t_in[idx + 1]],
+            axis=1).astype(np.float32))
 
-    def body(carry, c):
-        x, m0, m1 = carry
-        sr, ap, abh, inv_r0, p1, p2, ti = (c[i].astype(x.dtype)
-                                           for i in range(7))
-        d1_0 = inv_r0 * (m1 - m0)
-        x_ = sr * x - ap * m0
-        x_p = x_ - abh * 0.5 * d1_0                      # predictor (rho_p=0.5)
-        m_t = x0_fn(x_p, jnp.full((x.shape[0],), ti))
-        x = x_ - abh * (p1 * d1_0 + p2 * (m_t - m0))     # corrector
-        return (x, m_t, m0), None
+        def body1(carry, c):
+            x, m0 = carry
+            sr, ap, abh, ti = (c[i].astype(x.dtype) for i in range(4))
+            x_ = sr * x - ap * m0
+            m_t = x0_fn(x_, jnp.full((x.shape[0],), ti))
+            x = x_ - abh * 0.5 * (m_t - m0)
+            return (x, m_t), None
 
-    (x, m0, m1), _ = jax.lax.scan(body, (x, m0, m1), consts)
+        (x, m0), _ = jax.lax.scan(body1, (x, m0), consts)
+        hi = body_end
+    elif body_end > hi:
+        idx = np.arange(hi, body_end)
+        cols = [sig_ratio[idx], aphi[idx], a_bh[idx], t_in[idx + 1]]
+        r_arr = np.stack([rks(i, order) for i in idx])          # (n, k-1)
+        rp = np.stack([rho_p(i, order) for i in idx])           # (n, k-1)
+        rc = np.stack([rho_c(i, order) for i in idx])           # (n, k)
+        consts = jnp.asarray(np.concatenate(
+            [np.stack(cols, axis=1), r_arr, rp, rc], axis=1).astype(np.float32))
+        n_r = r_arr.shape[1]
 
-    # final update (step == steps): order 1, no corrector
-    # (uni_pc.py:636-644: step_order = min(order, steps + 1 - step) = 1)
-    x = float(sig_ratio[-1]) * x - float(aphi[-1]) * m0
+        def body(carry, c):
+            x, m0, m1, m2 = carry
+            sr, ap, abh, ti = (c[i].astype(x.dtype) for i in range(4))
+            r = [c[4 + j].astype(x.dtype) for j in range(n_r)]
+            p = [c[4 + n_r + j].astype(x.dtype) for j in range(n_r)]
+            cc = [c[4 + 2 * n_r + j].astype(x.dtype) for j in range(n_r + 1)]
+            ds = [(m1 - m0) / r[0]]
+            if order >= 3:
+                ds.append((m2 - m0) / r[1])
+            x_ = sr * x - ap * m0
+            x_p = x_ - abh * sum(p[j] * ds[j] for j in range(n_r))
+            m_t = x0_fn(x_p, jnp.full((x.shape[0],), ti))
+            corr = cc[-1] * (m_t - m0)
+            for j in range(n_r):
+                corr = corr + cc[j] * ds[j]
+            x = x_ - abh * corr
+            return (x, m_t, m0, m1), None
+
+        (x, m0, m1, m2), _ = jax.lax.scan(body, (x, m0, m1, m2), consts)
+        hi = body_end
+
+    # tail: orders order-1 .. 1 (with corrector except the very last)
+    for i in range(hi, steps):
+        k = min(order, steps - i)
+        x, m_t = update(x, i, k, m0, m1, m2,
+                        use_corrector=(i < steps - 1))
+        if m_t is not None:
+            m2, m1, m0 = m1, m0, m_t
     return x
 
 

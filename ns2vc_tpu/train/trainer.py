@@ -42,6 +42,7 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -54,11 +55,13 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_train_step(model: NaturalSpeech2, optimizer,
-                    accum: int = 1, compute_dtype=None):
+                    accum: int = 1, compute_dtype=None,
+                    ema_decay: float = 0.0, ema_every: int = 1):
     """Returns train_step(state, batch, rng) -> (state, metrics).
     batch leaves have leading dim B = accum * micro_batch.
     compute_dtype=bfloat16 casts params+batch at apply time (f32 master
-    params; see utils/precision.py)."""
+    params; see utils/precision.py). ema_decay > 0 maintains EMA params
+    updated every `ema_every` steps."""
     from ns2vc_tpu.utils.precision import cast_floating
 
     def loss_fn(params, batch, rng):
@@ -102,8 +105,15 @@ def make_train_step(model: NaturalSpeech2, optimizer,
         if "pred" in aux:
             metrics["pred"] = aux["pred"]
             metrics["target"] = aux["target"]
+
+        ema_params = state.ema_params
+        if ema_decay > 0.0 and ema_params is not None:
+            do_update = (state.step + 1) % ema_every == 0
+            d = jnp.where(do_update, ema_decay, 1.0)
+            ema_params = jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d), ema_params, params)
         return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state), metrics
+                          opt_state=opt_state, ema_params=ema_params), metrics
 
     return train_step
 
@@ -151,20 +161,23 @@ class Trainer:
 
         def init_fn(rng):
             params = self.model.init(rng, sample_batch, rng)
-            return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                              opt_state=self.optimizer.init(params))
+            return TrainState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                opt_state=self.optimizer.init(params),
+                ema_params=params if t.use_ema else None)
 
         with self.mesh:
             abstract = jax.eval_shape(init_fn, init_rng)
+            replicated = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
             shardings = TrainState(
-                step=jax.sharding.NamedSharding(
-                    self.mesh, jax.sharding.PartitionSpec()),
+                step=replicated,
                 params=param_shardings(abstract.params, self.mesh),
                 opt_state=jax.tree.map(
-                    lambda _: jax.sharding.NamedSharding(
-                        self.mesh, jax.sharding.PartitionSpec()),
-                    abstract.opt_state,
+                    lambda _: replicated, abstract.opt_state,
                     is_leaf=lambda x: hasattr(x, "shape")),
+                ema_params=(param_shardings(abstract.params, self.mesh)
+                            if t.use_ema else None),
             )
             # opt_state mirrors param shardings for the adamw moments
             self.state = jax.jit(init_fn, out_shardings=shardings)(init_rng)
@@ -172,7 +185,9 @@ class Trainer:
 
             self._step_fn = jax.jit(
                 make_train_step(self.model, self.optimizer, self.accum,
-                                compute_dtype=resolve_dtype(t.compute_dtype)),
+                                compute_dtype=resolve_dtype(t.compute_dtype),
+                                ema_decay=t.ema_decay if t.use_ema else 0.0,
+                                ema_every=t.ema_update_every),
                 in_shardings=(shardings, batch_sharding(self.mesh), None),
                 out_shardings=(shardings, None),
                 donate_argnums=(0,))
@@ -271,7 +286,10 @@ class Trainer:
         c_in[0, : c.shape[1]] = c.T
         refer_in = np.zeros((1, tr_pad, spec_r.shape[0]), np.float32)
         refer_in[0, : spec_r.shape[1]] = spec_r.T
-        mel = generate_mel(self.model, self.state.params, jnp.asarray(c_in),
+        eval_params = (self.state.ema_params
+                       if self.state.ema_params is not None
+                       else self.state.params)
+        mel = generate_mel(self.model, eval_params, jnp.asarray(c_in),
                            jnp.asarray(refer_in),
                            jnp.asarray([c.shape[1]]),
                            jnp.asarray([spec_r.shape[1]]), rng,

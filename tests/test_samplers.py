@@ -68,26 +68,27 @@ class TestScheduleParity:
 
 
 class TestDPMSolverParity:
-    @pytest.mark.parametrize("steps", [10, 40])
-    def test_multistep_order2(self, schedule, ref_samplers, steps):
-        if steps < 10:
-            pytest.skip("reference lowers final order below 10 steps")
+    @pytest.mark.parametrize("steps,order", [(10, 1), (10, 2), (40, 2),
+                                             (12, 3), (30, 3)])
+    def test_multistep(self, schedule, ref_samplers, steps, order):
         dpm, _ = ref_samplers
         ns, model_fn = _ref_setup(dpm, schedule)
         solver = dpm.DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++")
         torch.manual_seed(0)
         x = torch.randn(2, 4, 24)
-        want = solver.sample(x.clone(), steps=steps, order=2,
+        want = solver.sample(x.clone(), steps=steps, order=order,
                              skip_type="time_uniform",
                              method="multistep").numpy()
         got = np.asarray(dpmpp_2m_sample(
-            _toy_jax, jnp.asarray(x.numpy()), schedule, steps=steps))
+            _toy_jax, jnp.asarray(x.numpy()), schedule, steps=steps,
+            order=order))
         np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 class TestUniPCParity:
-    @pytest.mark.parametrize("steps", [5, 30])
-    def test_bh2_order2(self, schedule, ref_samplers, steps):
+    @pytest.mark.parametrize("steps,order", [(5, 1), (5, 2), (30, 2),
+                                             (8, 3), (30, 3)])
+    def test_bh2(self, schedule, ref_samplers, steps, order):
         _, unipc_mod = ref_samplers
         ns, model_fn = _ref_setup(unipc_mod, schedule)
         solver = unipc_mod.UniPC(model_fn, ns, variant="bh2")
@@ -96,11 +97,12 @@ class TestUniPCParity:
         # of dpm_solver's (uni_pc.py:191) and only broadcasts for B=1 — which
         # is how NS2VC invokes it (model.py:666-687)
         x = torch.randn(1, 4, 24)
-        want = solver.sample(x.clone(), steps=steps, order=2,
+        want = solver.sample(x.clone(), steps=steps, order=order,
                              skip_type="time_uniform",
                              method="multistep").numpy()
         got = np.asarray(unipc_sample(
-            _toy_jax, jnp.asarray(x.numpy()), schedule, steps=steps))
+            _toy_jax, jnp.asarray(x.numpy()), schedule, steps=steps,
+            order=order))
         np.testing.assert_allclose(got, want, atol=1e-4)
 
 

@@ -50,7 +50,7 @@ def main():
     from ns2vc_tpu.models.vocos import Vocos
     from ns2vc_tpu.ops.masking import sequence_mask
 
-    B, T, TP, STEPS = 8, 400, 272, 50
+    B, T, TP, STEPS = 16, 400, 272, 50
     SR, HOP = 24000, 256
 
     cfg = Config()

@@ -24,9 +24,11 @@ jax.config.update("jax_num_cpu_devices", 8)
 # this image's XLA defaults to low (bf16-like) matmul precision even on CPU;
 # parity tests need exact fp32 matmuls
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compile cache: the UNet/sampler scans dominate suite wall-clock
-jax.config.update("jax_compilation_cache_dir", "/tmp/ns2vc_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NOTE: no persistent compile cache for CPU tests. This image's
+# sitecustomize routes XLA compilation through a remote service whose
+# machine features differ from this host; cached AOT results then load
+# with "machine type doesn't match" warnings and can hang or miscompute
+# (observed: a scan-of-LSTM binary that silently dropped carry state).
 
 REFERENCE_DIR = pathlib.Path("/root/reference")
 

@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocos_ckpt", type=str, default=None)
     p.add_argument("--sample_method", type=str, default="unipc",
                    choices=["ddpm", "ddim", "dpmsolver", "unipc"])
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
     p.add_argument("--sampling_timesteps", type=int, default=30)
     p.add_argument("-wf", "--wav_format", type=str, default="wav")
     p.add_argument("--raw_dir", type=str, default="raw")
@@ -63,7 +65,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     svc = Svc(args.model_path, args.config_path,
               contentvec_ckpt=args.contentvec_ckpt,
-              vocos_ckpt=args.vocos_ckpt)
+              vocos_ckpt=args.vocos_ckpt,
+              compute_dtype=args.compute_dtype)
     os.makedirs(args.out_dir, exist_ok=True)
 
     trans = args.trans * len(args.clean_names) if len(args.trans) == 1 \
@@ -80,7 +83,9 @@ def main(argv=None):
                 raw_path, refer_path, tran=tran, slice_db=args.slice_db,
                 pad_seconds=args.pad_seconds,
                 sample_method=args.sample_method,
-                sampling_timesteps=args.sampling_timesteps)
+                sampling_timesteps=args.sampling_timesteps,
+                clip_seconds=args.clip,
+                lg_seconds=args.linear_gradient)
             base = os.path.splitext(os.path.basename(clean_name))[0]
             rbase = os.path.splitext(os.path.basename(refer_name))[0]
             out = os.path.join(

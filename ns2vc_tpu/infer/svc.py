@@ -49,8 +49,11 @@ class Svc:
                  config: Optional[Config] = None,
                  params: Optional[dict] = None,
                  contentvec_params: Optional[dict] = None,
-                 vocos_params: Optional[dict] = None):
+                 vocos_params: Optional[dict] = None,
+                 compute_dtype: Optional[str] = None):
         self.cfg = config or load_config(config_path)
+        self.compute_dtype = (None if compute_dtype in (None, "float32")
+                              else jnp.bfloat16)
         self.target_sample = self.cfg.data.sampling_rate
         self.hop_size = self.cfg.data.hop_length
         self.dev = jax.devices()[0]
@@ -164,7 +167,8 @@ class Svc:
                            jnp.asarray(r_in), jnp.asarray([t_len]),
                            jnp.asarray([tp_len]),
                            jax.random.PRNGKey(seed),
-                           method=sample_method, steps=sampling_timesteps)
+                           method=sample_method, steps=sampling_timesteps,
+                           compute_dtype=self.compute_dtype)
         mel = np.asarray(mel)[:, :t_len]
         if self.vocos is None:
             raise RuntimeError("vocos checkpoint missing — cannot vocode")
@@ -179,7 +183,9 @@ class Svc:
                         tran: int = 0, slice_db: float = -40,
                         pad_seconds: float = 0.5,
                         sample_method: str = "unipc",
-                        sampling_timesteps: int = 30) -> np.ndarray:
+                        sampling_timesteps: int = 30,
+                        clip_seconds: float = 0,
+                        lg_seconds: float = 0) -> np.ndarray:
         from ns2vc_tpu.audio.slicer import Slicer
 
         wav, sr = read_wav(raw_audio_path)
@@ -188,6 +194,19 @@ class Svc:
         chunks = Slicer(sr=sr, threshold=slice_db).slice(wav)
         refer_wav, refer_sr = read_wav(refer_path)
         refer_mel = self.compute_refer_mel(refer_wav, refer_sr)
+
+        def convert_clip(data: np.ndarray) -> np.ndarray:
+            length = int(np.ceil(len(data) / sr * self.target_sample))
+            pad = int(pad_seconds * sr)
+            padded = np.concatenate([np.zeros(pad, np.float32), data,
+                                     np.zeros(pad, np.float32)])
+            c, f0, uv, _ = self.compute_features(padded, sr, tran)
+            out = self.infer_from_features(c, refer_mel, sample_method,
+                                           sampling_timesteps)
+            pad_frames = int(pad_seconds * self.target_sample)
+            return out[pad_frames : pad_frames + length].astype(np.float32)
+
+        from ns2vc_tpu.infer.cli import crossfade_concat
 
         pieces = []
         for v in dict(chunks).values():
@@ -199,15 +218,16 @@ class Svc:
             if v["slice"]:  # silence: passthrough zeros
                 pieces.append(np.zeros(length, np.float32))
                 continue
-            pad = int(pad_seconds * sr)
-            padded = np.concatenate([np.zeros(pad, np.float32), data,
-                                     np.zeros(pad, np.float32)])
-            c, f0, uv, _ = self.compute_features(padded, sr, tran)
-            out = self.infer_from_features(c, refer_mel, sample_method,
-                                           sampling_timesteps)
-            pad_frames = int(pad_seconds * self.target_sample)
-            out = out[pad_frames : pad_frames + length]
-            pieces.append(out.astype(np.float32))
+            if clip_seconds > 0 and len(data) > clip_seconds * sr:
+                # forced clipping with linear-gradient crossfade
+                # (reference infer.py --clip/-lg flags, infer.py:30-35)
+                n = int(clip_seconds * sr)
+                lg = int(lg_seconds * self.target_sample)
+                subs = [convert_clip(data[i : i + n])
+                        for i in range(0, len(data), n)]
+                pieces.append(crossfade_concat(subs, lg)[:length])
+            else:
+                pieces.append(convert_clip(data))
         return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
 
     def clear_empty(self):  # API parity (infer_tool.py:246-249); no-op on XLA

@@ -135,9 +135,9 @@ class NaturalSpeech2(nn.Module):
         noise = jax.random.normal(n_rng, x_start.shape, x_start.dtype) * x_mask
 
         sqrt_acp = jnp.asarray(self.schedule.sqrt_alphas_cumprod,
-                               jnp.float32)[t][:, None, None]
+                               spec.dtype)[t][:, None, None]
         sqrt_1macp = jnp.asarray(self.schedule.sqrt_one_minus_alphas_cumprod,
-                                 jnp.float32)[t][:, None, None]
+                                 spec.dtype)[t][:, None, None]
         x_t = sqrt_acp * x_start + sqrt_1macp * noise
 
         model_out = self.diff_model(x_t, content, prompt, refer_mask,
@@ -166,10 +166,18 @@ def make_x0_fn(model: NaturalSpeech2, params, content, prompt, prompt_mask):
 
 def generate_mel(model: NaturalSpeech2, params, c, refer, lengths,
                  refer_lengths, rng: jax.Array, method: str = "unipc",
-                 steps: Optional[int] = None) -> jnp.ndarray:
+                 steps: Optional[int] = None,
+                 compute_dtype=None) -> jnp.ndarray:
     """Full sampling path: encode conditioning once, run one compiled
-    sampler scan, return (B, T, 100) log-mel
-    (reference NaturalSpeech2.sample, model.py:605-696, minus vocoder)."""
+    sampler scan, return (B, T, 100) log-mel in float32
+    (reference NaturalSpeech2.sample, model.py:605-696, minus vocoder).
+    compute_dtype=jnp.bfloat16 runs the whole path in bf16 (TPU-native)."""
+    from ns2vc_tpu.utils.precision import cast_floating
+
+    if compute_dtype is not None:
+        params = cast_floating(params, compute_dtype)
+        c = c.astype(compute_dtype)
+        refer = refer.astype(compute_dtype)
     t_len = c.shape[1]
     c_mask = sequence_mask(lengths, t_len)
     refer_mask = sequence_mask(refer_lengths, refer.shape[1])
@@ -177,7 +185,10 @@ def generate_mel(model: NaturalSpeech2, params, c, refer, lengths,
                                   method=NaturalSpeech2.encode)
     x0_fn = make_x0_fn(model, params, content, prompt, refer_mask)
     noise_rng, sample_rng = jax.random.split(rng)
-    x_T = jax.random.normal(noise_rng, (c.shape[0], t_len,
-                                        model.cfg.diffusion_encoder.out_channels))
+    x_T = jax.random.normal(
+        noise_rng,
+        (c.shape[0], t_len, model.cfg.diffusion_encoder.out_channels),
+        compute_dtype or jnp.float32)
     schedule = NoiseSchedule(model.cfg.train.timesteps)
-    return run_sampler(method, x0_fn, x_T, schedule, steps, sample_rng)
+    mel = run_sampler(method, x0_fn, x_T, schedule, steps, sample_rng)
+    return mel.astype(jnp.float32)

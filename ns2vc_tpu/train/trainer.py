@@ -140,6 +140,7 @@ class Trainer:
         now = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
         self.logs_folder = logs_folder or os.path.join(t.logs_folder, now)
         os.makedirs(self.logs_folder, exist_ok=True)
+        self._stamp_git_hash()
 
         # data
         ds = VCDataset(self.cfg.data.training_files, self.cfg,
@@ -195,6 +196,27 @@ class Trainer:
         self._ckpt_mgr = None
 
     # ------------------------------------------------------------------
+
+    def _stamp_git_hash(self):
+        """Record the source revision in the run dir (reference
+        utils.py:447-464 check_git_hash, which its Trainer never calls)."""
+        import subprocess
+
+        try:
+            h = subprocess.run(["git", "rev-parse", "HEAD"],
+                               capture_output=True, text=True,
+                               cwd=os.path.dirname(os.path.abspath(__file__)),
+                               timeout=5).stdout.strip()
+        except Exception:
+            h = ""
+        if h:
+            path = os.path.join(self.logs_folder, "githash")
+            if os.path.exists(path):
+                old = open(path).read().strip()
+                if old and old != h:
+                    print(f"warning: git hash changed ({old[:8]} -> {h[:8]})")
+            with open(path, "w") as f:
+                f.write(h)
 
     def _dummy_batch(self) -> dict:
         t = self.cfg.train

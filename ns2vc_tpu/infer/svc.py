@@ -176,6 +176,37 @@ class Svc:
                                           jnp.asarray(mel)))
         return wav[0]
 
+    def infer_batch(self, clips: list, refer_mel: np.ndarray,
+                    sample_method: str = "unipc",
+                    sampling_timesteps: int = 30,
+                    seed: int = 0) -> list:
+        """Convert many clips in ONE device batch — the sampler scan is
+        batch-parallel, so N clips cost ~one clip of latency. `clips` is a
+        list of (T_i, 256) content arrays; returns a list of waveforms.
+        All clips are padded to the max bucket and masked by length."""
+        if not clips:
+            return []
+        t_lens = [c.shape[0] for c in clips]
+        t_pad = _bucket(max(t_lens), 64)
+        tp_len = refer_mel.shape[0]
+        tp_pad = _bucket(tp_len, 64)
+        n = len(clips)
+        c_in = np.zeros((n, t_pad, clips[0].shape[1]), np.float32)
+        for i, c in enumerate(clips):
+            c_in[i, : t_lens[i]] = c
+        r_in = np.zeros((n, tp_pad, refer_mel.shape[1]), np.float32)
+        r_in[:, :tp_len] = refer_mel[None]
+
+        mel = generate_mel(self.model, self.params, jnp.asarray(c_in),
+                           jnp.asarray(r_in), jnp.asarray(t_lens),
+                           jnp.full((n,), tp_len), jax.random.PRNGKey(seed),
+                           method=sample_method, steps=sampling_timesteps,
+                           compute_dtype=self.compute_dtype)
+        if self.vocos is None:
+            raise RuntimeError("vocos checkpoint missing — cannot vocode")
+        wav = np.asarray(self.vocos.apply(self.vocos_params, mel))
+        return [wav[i, : t_lens[i] * self.hop_size] for i in range(n)]
+
     # -- sliced long-form inference (working replacement for the
     #    reference's broken slice_inference, infer_tool.py:218-287) -------
 

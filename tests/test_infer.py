@@ -118,3 +118,18 @@ class TestCrossfade:
         assert len(crossfade_concat([], 10)) == 0
         a = np.ones(5, np.float32)
         np.testing.assert_array_equal(crossfade_concat([a], 10), a)
+
+
+class TestInferBatch:
+    def test_batched_matches_lengths(self, svc):
+        rng = np.random.default_rng(1)
+        clips = [rng.standard_normal((t, 256)).astype(np.float32)
+                 for t in (40, 25, 60)]
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        outs = svc.infer_batch(clips, refer, sampling_timesteps=4)
+        assert [len(o) for o in outs] == [40 * 256, 25 * 256, 60 * 256]
+        for o in outs:
+            assert np.isfinite(o).all()
+
+    def test_empty(self, svc):
+        assert svc.infer_batch([], np.zeros((10, 100), np.float32)) == []

@@ -100,3 +100,31 @@ class TestTrainer:
         mel, wav, gt, refer = out
         assert mel.shape[1] == 100
         assert np.isfinite(mel).all()
+
+
+class TestTrainInferBridge:
+    def test_svc_loads_trainer_checkpoint(self, processed_dir, tmp_path):
+        """The artifact Trainer.save writes must be loadable by Svc (the
+        train -> infer contract a user exercises via infer.py -m <ckpt>)."""
+        import numpy as np
+
+        from ns2vc_tpu.infer.svc import Svc
+        from ns2vc_tpu.models.vocos import Vocos
+        from ns2vc_tpu.train.trainer import Trainer
+
+        cfg = tiny_config(processed_dir, tmp_path)
+        tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_bridge"))
+        tr.save()
+
+        svc = Svc(str(tmp_path / "logs_bridge" / "ckpt"), config=cfg,
+                  contentvec_ckpt="")
+        vocos = Vocos(dim=32, intermediate_dim=48, num_layers=1)
+        svc.vocos = vocos
+        svc.vocos_params = vocos.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 100, 8)))
+        rng = np.random.default_rng(0)
+        c = rng.standard_normal((40, 256)).astype(np.float32)
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        wav = svc.infer_from_features(c, refer, sampling_timesteps=4)
+        assert wav.shape == (40 * 256,)
+        assert np.isfinite(wav).all()

@@ -238,3 +238,32 @@ class TestDIOGolden:
         assert rmse < 5.0, f"voiced RMSE {rmse:.1f} Hz"
         medabs = np.median(np.abs(got[both] - want[both]))
         assert medabs < 0.5, f"voiced median abs err {medabs:.2f} Hz"
+
+
+class TestSTFTTorchParity:
+    """torch.stft is the exact primitive beneath the reference's
+    torchaudio.MelSpectrogram (preprocess.py:50-59); our STFT must match it
+    bit-closely (center=True, reflect pad, periodic hann, onesided)."""
+
+    def test_matches_torch_stft(self):
+        torch = pytest.importorskip("torch")
+        t = torch.Generator().manual_seed(0)
+        x = torch.randn(4096, generator=t)
+        win = torch.hann_window(1024)
+        want = torch.stft(x, n_fft=1024, hop_length=256, win_length=1024,
+                          window=win, center=True, pad_mode="reflect",
+                          return_complex=True, onesided=True).numpy().T
+        got = np.asarray(stft(jnp.asarray(x.numpy()),
+                              jnp.asarray(hann_window(1024))))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-3)
+        # relative error of magnitudes is what the mel sees
+        rel = (np.abs(np.abs(got) - np.abs(want))
+               / np.maximum(np.abs(want), 1e-3)).max()
+        assert rel < 1e-3, rel
+
+    def test_window_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        np.testing.assert_allclose(hann_window(1024),
+                                   torch.hann_window(1024).numpy(),
+                                   rtol=0, atol=1e-7)

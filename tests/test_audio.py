@@ -266,4 +266,4 @@ class TestSTFTTorchParity:
         torch = pytest.importorskip("torch")
         np.testing.assert_allclose(hann_window(1024),
                                    torch.hann_window(1024).numpy(),
-                                   rtol=0, atol=1e-7)
+                                   rtol=0, atol=5e-7)

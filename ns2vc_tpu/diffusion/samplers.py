@@ -35,11 +35,6 @@ from ns2vc_tpu.diffusion.schedule import NoiseSchedule
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
-def _bcast(b):
-    """scalar const -> () f32 array for clean scan stacking."""
-    return np.asarray(b, np.float32)
-
-
 def ddpm_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
                 rng: jax.Array) -> jnp.ndarray:
     """Ancestral sampling over all T steps (reference p_sample_loop,

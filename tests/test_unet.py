@@ -102,8 +102,11 @@ class TestUNetTraining:
                                     num_attention_heads=4, addition_embed_heads=4)
         rng = jax.random.PRNGKey(0)
         b, t, tp = 2, 16, 9
-        sample = jnp.ones((b, t, SMALL["in_channels"]))
-        ehs = jnp.ones((b, tp, SMALL["cross_attention_dim"]))
+        # random inputs: constant inputs give exactly-zero LayerNorm-scale
+        # gradients (normalized value is 0), a false "dead param" signal
+        sample = jax.random.normal(rng, (b, t, SMALL["in_channels"]))
+        ehs = jax.random.normal(jax.random.fold_in(rng, 1),
+                                (b, tp, SMALL["cross_attention_dim"]))
         mask = sequence_mask(jnp.array([9, 5]), tp)
         params = mine.init(rng, sample, jnp.array([1, 2]), ehs, mask)
 

@@ -301,8 +301,11 @@ class Trainer:
             return None
         c, f0, spec, audio, uv, c_r, f0_r, spec_r, audio_r, uv_r = \
             self.eval_ds[self.step % len(self.eval_ds)]
-        t_pad = -(-c.shape[1] // 8) * 8
-        tr_pad = -(-spec_r.shape[1] // 8) * 8
+        # bucket to multiples of 64 so repeated evals reuse one compiled
+        # sampler program (arbitrary multiples of 8 would recompile per
+        # utterance length — minutes each on TPU)
+        t_pad = max(64, -(-c.shape[1] // 64) * 64)
+        tr_pad = max(64, -(-spec_r.shape[1] // 64) * 64)
         c_in = np.zeros((1, t_pad, c.shape[0]), np.float32)
         c_in[0, : c.shape[1]] = c.T
         refer_in = np.zeros((1, tr_pad, spec_r.shape[0]), np.float32)

@@ -77,7 +77,10 @@ class EncoderConfig:
 @dataclasses.dataclass(frozen=True)
 class F0PredictorConfig:
     # reference config.json:34-42 (disabled in VC, model.py:334-335; kept for
-    # the TTS-branch capability surface)
+    # the TTS-branch capability surface). enabled=True activates the
+    # reference's commented-out design (model.py:349-356, 728-731):
+    # L1 loss on normalized log-F0 + quantized-F0 embedding added to content.
+    enabled: bool = False
     in_channels: int = 256
     hidden_channels: int = 256
     out_channels: int = 1

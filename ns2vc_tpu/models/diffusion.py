@@ -32,7 +32,7 @@ from ns2vc_tpu.config import Config
 from ns2vc_tpu.diffusion.samplers import sample as run_sampler
 from ns2vc_tpu.diffusion.schedule import NoiseSchedule
 from ns2vc_tpu.models.encoders import (
-    PhoneEncoder, PromptEncoder, TextTimeEmbedding,
+    F0Predictor, PhoneEncoder, PromptEncoder, TextTimeEmbedding,
 )
 from ns2vc_tpu.models.unet import UNet1DConditionModel
 from ns2vc_tpu.ops.masking import sequence_mask
@@ -45,7 +45,13 @@ class PreModel(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, c, refer, c_mask, refer_mask, deterministic=True):
+    def __call__(self, c, refer, c_mask, refer_mask, deterministic=True,
+                 f0=None, uv=None, norm_rng=None, auto_predict_f0=True):
+        """Returns (content, prompt, lf0, lf0_pred); the F0 terms are None
+        unless cfg.f0_predictor.enabled (the reference's dormant TTS-branch
+        design, model.py:334-358)."""
+        from ns2vc_tpu.ops.sequence import f0_to_coarse_jnp, normalize_f0_jnp
+
         pe = self.cfg.phoneme_encoder
         pr = self.cfg.prompt_encoder
         # NOTE: the reference pools the *padded* refer mel without a mask
@@ -64,7 +70,34 @@ class PreModel(nn.Module):
             p_dropout=pe.p_dropout, n_heads=pe.n_heads,
             ffn_kernel=pe.ffn_kernel, name="phoneme_encoder")(
             c, c_mask, g, deterministic=deterministic)
-        return content, prompt
+
+        lf0 = lf0_pred = None
+        fp = self.cfg.f0_predictor
+        if fp.enabled and f0 is not None:
+            # log-mel-scale F0 target (reference model.py:349)
+            lf0 = (2595.0 * jnp.log10(1.0 + f0[..., None] / 700.0)) / 500.0
+            norm_lf0 = normalize_f0_jnp(
+                lf0, uv if uv is not None else (f0 > 0).astype(lf0.dtype),
+                norm_rng)
+            lf0_pred = F0Predictor(
+                in_channels=fp.in_channels,
+                hidden_channels=fp.hidden_channels,
+                out_channels=fp.out_channels,
+                attention_layers=fp.attention_layers, n_heads=fp.n_heads,
+                p_dropout=fp.p_dropout, name="f0_predictor")(
+                content, prompt, norm_lf0, c_mask, refer_mask,
+                deterministic=deterministic)
+            # quantized-F0 embedding added to content (model.py:353-354);
+            # ground-truth f0 at train, predicted at inference
+            if deterministic and auto_predict_f0:
+                f0_for_emb = 700.0 * (10.0 ** (lf0_pred[..., 0]
+                                               * 500.0 / 2595.0) - 1.0)
+            else:
+                f0_for_emb = f0
+            coarse = f0_to_coarse_jnp(f0_for_emb)
+            content = content + nn.Embed(256, pe.out_channels,
+                                         name="f0_emb")(coarse)
+        return content, prompt, lf0, lf0_pred
 
 
 class DiffusionEncoder(nn.Module):
@@ -105,9 +138,12 @@ class NaturalSpeech2(nn.Module):
                                            name="diff_model")
         self.schedule = NoiseSchedule(self.cfg.train.timesteps)
 
-    def encode(self, c, refer, c_mask, refer_mask, deterministic=True):
-        return self.pre_model(c, refer, c_mask, refer_mask,
-                              deterministic=deterministic)
+    def encode(self, c, refer, c_mask, refer_mask, deterministic=True,
+               f0=None, uv=None, auto_predict_f0=True):
+        content, prompt, _, _ = self.pre_model(
+            c, refer, c_mask, refer_mask, deterministic=deterministic,
+            f0=f0, uv=uv, auto_predict_f0=auto_predict_f0)
+        return content, prompt
 
     def denoise(self, x, content, prompt, prompt_mask, t):
         """x0-prediction at (possibly fractional) discrete label t
@@ -126,11 +162,11 @@ class NaturalSpeech2(nn.Module):
         x_mask = c_mask[..., None].astype(spec.dtype)
         x_start = spec * x_mask
 
-        content, prompt = self.pre_model(batch["c"], batch["refer"], c_mask,
-                                         refer_mask,
-                                         deterministic=deterministic)
-
-        t_rng, n_rng = jax.random.split(rng)
+        t_rng, n_rng, f0_rng = jax.random.split(rng, 3)
+        content, prompt, lf0, lf0_pred = self.pre_model(
+            batch["c"], batch["refer"], c_mask, refer_mask,
+            deterministic=deterministic, f0=batch.get("f0"),
+            uv=batch.get("uv"), norm_rng=f0_rng, auto_predict_f0=False)
         t = jax.random.randint(t_rng, (b,), 0, self.schedule.num_timesteps)
         noise = jax.random.normal(n_rng, x_start.shape, x_start.dtype) * x_mask
 
@@ -150,9 +186,15 @@ class NaturalSpeech2(nn.Module):
         loss = jnp.mean(loss.reshape(b, -1), axis=-1)
         weight = jnp.asarray(self.schedule.snr, jnp.float32)[t]
         loss_diff = jnp.mean(loss * weight)
-        aux = {"loss_diff": loss_diff, "loss_f0": 0.0,
+        loss_f0 = 0.0
+        if lf0_pred is not None:
+            # L1 on normalized log-F0 (reference model.py:355/728, commented)
+            loss_f0 = jnp.mean(jnp.abs(lf0_pred.astype(jnp.float32)
+                                       - lf0.astype(jnp.float32)))
+        total = loss_diff + loss_f0
+        aux = {"loss_diff": loss_diff, "loss_f0": loss_f0,
                "pred": model_out, "target": x_start}
-        return loss_diff, aux
+        return total, aux
 
 
 def make_x0_fn(model: NaturalSpeech2, params, content, prompt, prompt_mask):
@@ -167,7 +209,8 @@ def make_x0_fn(model: NaturalSpeech2, params, content, prompt, prompt_mask):
 def generate_mel(model: NaturalSpeech2, params, c, refer, lengths,
                  refer_lengths, rng: jax.Array, method: str = "unipc",
                  steps: Optional[int] = None,
-                 compute_dtype=None) -> jnp.ndarray:
+                 compute_dtype=None, f0=None, uv=None,
+                 auto_predict_f0: bool = True) -> jnp.ndarray:
     """Full sampling path: encode conditioning once, run one compiled
     sampler scan, return (B, T, 100) log-mel in float32
     (reference NaturalSpeech2.sample, model.py:605-696, minus vocoder).
@@ -182,6 +225,8 @@ def generate_mel(model: NaturalSpeech2, params, c, refer, lengths,
     c_mask = sequence_mask(lengths, t_len)
     refer_mask = sequence_mask(refer_lengths, refer.shape[1])
     content, prompt = model.apply(params, c, refer, c_mask, refer_mask,
+                                  f0=f0, uv=uv,
+                                  auto_predict_f0=auto_predict_f0,
                                   method=NaturalSpeech2.encode)
     x0_fn = make_x0_fn(model, params, content, prompt, refer_mask)
     noise_rng, sample_rng = jax.random.split(rng)

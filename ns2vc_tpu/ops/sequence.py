@@ -113,3 +113,38 @@ def fused_add_tanh_sigmoid_multiply(a: jnp.ndarray, b: jnp.ndarray,
     t_act = jnp.tanh(x[..., :n_channels])
     s_act = jax.nn.sigmoid(x[..., n_channels:])
     return t_act * s_act
+
+
+# -- F0 conditioning helpers (jnp ports of reference utils.py:25-80,197-206,
+#    used by the optional F0-predictor path) --------------------------------
+
+F0_BIN = 256
+
+
+def f0_to_coarse_jnp(f0: jnp.ndarray) -> jnp.ndarray:
+    """256-bin mel-scale F0 quantization (reference utils.py:197-206),
+    traceable version of audio/f0.py::f0_to_coarse."""
+    import numpy as np
+
+    f0_mel_min = 1127.0 * np.log(1.0 + 50.0 / 700.0)
+    f0_mel_max = 1127.0 * np.log(1.0 + 1100.0 / 700.0)
+    f0_mel = 1127.0 * jnp.log(1.0 + f0 / 700.0)
+    scaled = ((f0_mel - f0_mel_min) * (F0_BIN - 2)
+              / (f0_mel_max - f0_mel_min) + 1.0)
+    f0_mel = jnp.where(f0_mel > 0, scaled, f0_mel)
+    f0_mel = jnp.clip(f0_mel, 1.0, F0_BIN - 1)
+    return jnp.rint(f0_mel).astype(jnp.int32)
+
+
+def normalize_f0_jnp(f0: jnp.ndarray, uv: jnp.ndarray, rng=None) -> jnp.ndarray:
+    """Masked mean-centering with optional random scale in [0.8, 1.2]
+    (reference utils.py:66-80). f0 (B, T, 1), uv (B, T)."""
+    uv_sum = jnp.sum(uv, axis=1, keepdims=True)
+    uv_sum = jnp.where(uv_sum == 0, 9999.0, uv_sum)
+    means = jnp.sum(f0[..., 0] * uv, axis=1, keepdims=True) / uv_sum
+    if rng is not None:
+        factor = jax.random.uniform(rng, (f0.shape[0], 1),
+                                    minval=0.8, maxval=1.2)
+    else:
+        factor = jnp.ones((f0.shape[0], 1))
+    return (f0 - means[..., None]) * factor[..., None]

@@ -164,3 +164,54 @@ class TestGenerate:
                            jnp.array([tp]), rng, method=method, steps=steps)
         assert mel.shape == (b, t, 100)
         assert np.isfinite(np.asarray(mel)).all()
+
+
+class TestF0PredictorPath:
+    def test_enabled_f0_loss_and_params(self):
+        import dataclasses
+
+        import optax
+
+        from ns2vc_tpu.config import F0PredictorConfig
+
+        cfg = small_config()
+        cfg = dataclasses.replace(cfg, f0_predictor=F0PredictorConfig(
+            enabled=True, attention_layers=1))
+        model = NaturalSpeech2(cfg)
+        rng = jax.random.PRNGKey(0)
+        b, t = 2, 16
+        batch = {
+            "c": jax.random.normal(rng, (b, t, 256)),
+            "refer": jax.random.normal(rng, (b, t, 100)),
+            "spec": jax.random.normal(rng, (b, t, 100)),
+            "f0": jnp.abs(jax.random.normal(rng, (b, t))) * 100 + 100,
+            "uv": jnp.ones((b, t)),
+            "lengths": jnp.array([16, 12]),
+            "refer_lengths": jnp.array([16, 10]),
+        }
+        params = model.init(rng, batch, rng)
+        names = jax.tree_util.tree_leaves_with_path(params)
+        keys = {jax.tree_util.keystr(p) for p, _ in names}
+        assert any("f0_predictor" in k for k in keys)
+        assert any("f0_emb" in k for k in keys)
+
+        loss, aux = model.apply(params, batch, jax.random.PRNGKey(1),
+                                deterministic=True)
+        assert float(aux["loss_f0"]) > 0
+        assert np.isfinite(float(loss))
+
+        # generation with provided f0 (auto_predict_f0=False)
+        mel = generate_mel(model, params, batch["c"], batch["refer"],
+                           batch["lengths"], batch["refer_lengths"],
+                           jax.random.PRNGKey(2), method="ddim", steps=4,
+                           f0=batch["f0"], uv=batch["uv"],
+                           auto_predict_f0=False)
+        assert mel.shape == (b, t, 100)
+        # and with predicted f0
+        mel2 = generate_mel(model, params, batch["c"], batch["refer"],
+                            batch["lengths"], batch["refer_lengths"],
+                            jax.random.PRNGKey(2), method="ddim", steps=4,
+                            f0=batch["f0"], uv=batch["uv"],
+                            auto_predict_f0=True)
+        assert np.isfinite(np.asarray(mel2)).all()
+        assert not np.allclose(np.asarray(mel), np.asarray(mel2))

@@ -194,18 +194,33 @@ class FixedShapeCollator:
 
 def data_loader(dataset: VCDataset, collator: FixedShapeCollator,
                 batch_size: int, seed: int = 0, num_workers: int = 0,
-                drop_last: bool = True) -> Iterator[dict]:
+                drop_last: bool = True,
+                shard_index: int | None = None,
+                shard_count: int | None = None) -> Iterator[dict]:
     """Infinite shuffled batch iterator with optional background prefetch
-    threads (the reference uses a 32-worker torch DataLoader,
-    model.py:777)."""
+    threads (the reference uses a 32-worker torch DataLoader, model.py:777).
+
+    On multi-host meshes pass shard_index/shard_count (defaults to
+    jax.process_index()/process_count()) so each host reads a disjoint
+    slice of the epoch — the TPU-native replacement for Accelerate's
+    sharded DataLoader (reference model.py:779)."""
+    if shard_index is None or shard_count is None:
+        try:
+            import jax
+
+            shard_index = jax.process_index()
+            shard_count = jax.process_count()
+        except Exception:
+            shard_index, shard_count = 0, 1
     rng = random.Random(seed)
     order: list[int] = []
 
     def next_index():
         nonlocal order
         if not order:
-            order = list(range(len(dataset)))
-            rng.shuffle(order)
+            epoch = list(range(len(dataset)))
+            rng.shuffle(epoch)
+            order = epoch[shard_index::shard_count] or epoch[:1]
         return order.pop()
 
     def make_batch():

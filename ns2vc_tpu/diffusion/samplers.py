@@ -383,16 +383,16 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
 
 def sample(method: str, x0_fn: DenoiseFn, x_T: jnp.ndarray,
            schedule: NoiseSchedule, steps: int | None = None,
-           rng: jax.Array | None = None) -> jnp.ndarray:
+           rng: jax.Array | None = None, order: int = 2) -> jnp.ndarray:
     """Dispatch matching reference NaturalSpeech2.sample's method names and
-    default step counts (model.py:605-687)."""
+    default step counts / orders (model.py:605-687)."""
     if method == "ddpm":
         return ddpm_sample(x0_fn, x_T, schedule,
                            rng if rng is not None else jax.random.PRNGKey(0))
     if method == "ddim":
         return ddim_sample(x0_fn, x_T, schedule, steps or 100, rng)
     if method == "dpmsolver":
-        return dpmpp_2m_sample(x0_fn, x_T, schedule, steps or 40)
+        return dpmpp_2m_sample(x0_fn, x_T, schedule, steps or 40, order=order)
     if method == "unipc":
-        return unipc_sample(x0_fn, x_T, schedule, steps or 30)
+        return unipc_sample(x0_fn, x_T, schedule, steps or 30, order=order)
     raise ValueError(f"unknown sample method {method!r}")

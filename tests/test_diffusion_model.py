@@ -215,3 +215,39 @@ class TestF0PredictorPath:
                             auto_predict_f0=True)
         assert np.isfinite(np.asarray(mel2)).all()
         assert not np.allclose(np.asarray(mel), np.asarray(mel2))
+
+
+class TestFullConfigMigration:
+    def test_reference_default_config_state_dict_converts(self, reference_dir):
+        """Full-size (6-layer) reference checkpoint conversion: every
+        converted tensor must match our model's init shapes exactly — the
+        Trainer.load_torch / infer.py -m model-N.pt migration contract."""
+        model_mod, _ = load_reference()
+        ref_cfg = {**REF_CFG,
+                   "phoneme_encoder": {**REF_CFG["phoneme_encoder"],
+                                       "n_layers": 6},
+                   "prompt_encoder": {**REF_CFG["prompt_encoder"],
+                                      "n_layers": 6}}
+        torch.manual_seed(0)
+        ref = model_mod.NaturalSpeech2(ref_cfg)
+        converted = cvt.natural_speech2(ref.state_dict(), n_encoder_layers=6)
+
+        mine = NaturalSpeech2(Config())
+        rng = jax.random.PRNGKey(0)
+        batch = {
+            "c": jnp.zeros((1, 16, 256)), "refer": jnp.zeros((1, 16, 100)),
+            "spec": jnp.zeros((1, 16, 100)), "lengths": jnp.array([16]),
+            "refer_lengths": jnp.array([16]),
+        }
+        abstract = jax.eval_shape(lambda r: mine.init(r, batch, r), rng)
+
+        want = {jax.tree_util.keystr(p): v.shape for p, v in
+                jax.tree_util.tree_leaves_with_path(abstract["params"])}
+        got = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_leaves_with_path(converted)}
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        assert not missing, f"missing {len(missing)}: {missing[:5]}"
+        assert not extra, f"extra {len(extra)}: {extra[:5]}"
+        mismatched = [k for k in want if want[k] != got[k]]
+        assert not mismatched, mismatched[:5]

@@ -140,6 +140,11 @@ class Trainer:
         self.logs_folder = logs_folder or os.path.join(t.logs_folder, now)
         os.makedirs(self.logs_folder, exist_ok=True)
         self._stamp_git_hash()
+        # copy the effective config into the run dir (reference
+        # get_hparams copies config.json there, utils.py:512-541)
+        from ns2vc_tpu.config import save_config
+
+        save_config(self.cfg, os.path.join(self.logs_folder, "config.json"))
 
         # data
         ds = VCDataset(self.cfg.data.training_files, self.cfg,

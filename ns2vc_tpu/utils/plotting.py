@@ -41,3 +41,28 @@ def plot_data_to_numpy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     data = np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy()
     plt.close(fig)
     return data
+
+
+def plot_alignment_to_numpy(alignment: np.ndarray, info: str | None = None
+                            ) -> np.ndarray:
+    """(T_dec, T_enc) alignment matrix -> HWC image (reference
+    utils.py:357-383; TTS-branch attention/duration visualizer)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pylab as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    im = ax.imshow(np.asarray(alignment).T, aspect="auto", origin="lower",
+                   interpolation="none")
+    fig.colorbar(im, ax=ax)
+    xlabel = "Decoder timestep"
+    if info is not None:
+        xlabel += "\n\n" + info
+    plt.xlabel(xlabel)
+    plt.ylabel("Encoder timestep")
+    plt.tight_layout()
+    fig.canvas.draw()
+    data = np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy()
+    plt.close(fig)
+    return data

@@ -15,8 +15,18 @@ REFERENCE = "/root/reference"
 
 
 def _stub(name: str, **attrs):
+    """Register a stub module ONLY if the real package is absent — stubbing
+    an installed package (e.g. accelerate) shadows its submodules for every
+    later import in the test session."""
     if name in sys.modules:
         return
+    import importlib.util
+
+    try:
+        if importlib.util.find_spec(name) is not None:
+            return
+    except (ImportError, ValueError):
+        pass
     mod = types.ModuleType(name)
     for k, v in attrs.items():
         setattr(mod, k, v)

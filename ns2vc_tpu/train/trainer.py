@@ -405,4 +405,7 @@ class Trainer:
                             "gen/audio", wav[:, None], step,
                             sample_rate=self.cfg.data.sampling_rate)
                 self.save()
+        # final checkpoint so short/interrupted runs are never lost (the
+        # reference only saves every save_and_sample_every steps)
+        self.save()
         print("training complete", flush=True)

@@ -1,7 +1,9 @@
 """Mixed-precision helpers.
 
-TPU policy: keep float32 master parameters (optimizer state in f32), cast
-parameters + activations to bfloat16 at apply time. This halves HBM
+The reference trains under `accelerator.autocast()` (reference
+model.py:859, backend-configured fp16/bf16); the TPU-native policy here:
+keep float32 master parameters (optimizer state in f32), cast parameters +
+activations to bfloat16 at apply time. This halves HBM
 traffic on the weight/activation streams while:
 - flax norm layers force float32 reductions regardless of input dtype
   (flax/linen/normalization.py force_float32_reductions), and

@@ -133,3 +133,21 @@ class TestInferBatch:
 
     def test_empty(self, svc):
         assert svc.infer_batch([], np.zeros((10, 100), np.float32)) == []
+
+
+class TestCLIParser:
+    def test_defaults_match_reference_flags(self):
+        """Flag set mirrors reference infer.py:17-56."""
+        from ns2vc_tpu.infer.cli import build_parser
+
+        args = build_parser().parse_args(
+            ["-m", "ckpt", "-n", "a.wav", "-r", "b.wav"])
+        assert args.trans == [0]
+        assert args.slice_db == -40
+        assert args.pad_seconds == 0.5
+        assert args.clip == 0
+        assert args.linear_gradient == 0
+        assert args.sample_method == "unipc"
+        assert args.sampling_timesteps == 30
+        assert args.wav_format == "wav"
+        assert args.compute_dtype == "bfloat16"

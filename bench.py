@@ -39,7 +39,9 @@ def _init_on_cpu(init_fn, *args):
             params = jax.jit(init_fn)(*args)
         return jax.device_put(params, jax.devices()[0])
     except Exception:
-        return init_fn(*args)
+        # no CPU backend: still jit (un-jitted tracing dispatches hundreds
+        # of tiny compiles — minutes through the remote-compile service)
+        return jax.jit(init_fn)(*args)
 
 
 def main():

@@ -349,6 +349,31 @@ class Trainer:
         data_rng, eval_rng = jax.random.split(self.rng)
         profile_window = profile_window_from_env()
 
+        # double-buffered device prefetch: the transfer of batch N+1
+        # overlaps step N's execution (H2D through this environment's
+        # tunnel otherwise dominates — measured ~0.5 s/step at batch 32).
+        # Floats are cast to the compute dtype on the host first, halving
+        # transfer bytes (the train step casts to bf16 anyway).
+        compute_dtype = t.compute_dtype
+
+        def to_device(batch):
+            if compute_dtype == "bfloat16":
+                import ml_dtypes
+
+                batch = {k: (v.astype(ml_dtypes.bfloat16)
+                             if v.dtype == np.float32 else v)
+                         for k, v in batch.items()}
+            return shard_batch(batch, self.mesh)
+
+        def prefetched():
+            dev = to_device(next(self.dl))
+            while True:
+                nxt = to_device(next(self.dl))  # async H2D
+                yield dev
+                dev = nxt
+
+        device_batches = prefetched()
+
         t0 = time.time()
         while self.step < total:
             if profile_window is not None:
@@ -358,9 +383,8 @@ class Trainer:
                         os.path.join(self.logs_folder, "profile"))
                 elif self.step == start + num:
                     jax.profiler.stop_trace()
-            batch = next(self.dl)
             with self.mesh:
-                batch = shard_batch(batch, self.mesh)
+                batch = next(device_batches)
                 self.state, metrics = self._step_fn(self.state, batch,
                                                     data_rng)
 

@@ -356,7 +356,15 @@ class Trainer:
         # transfer bytes (the train step casts to bf16 anyway).
         compute_dtype = t.compute_dtype
 
+        # fields the train step never reads are not transferred: "wav" is
+        # logging-only (27 MB/step at batch 32 — over half the H2D bytes),
+        # f0/uv matter only when the F0 predictor is enabled
+        drop = {"wav"}
+        if not self.cfg.f0_predictor.enabled:
+            drop |= {"f0", "uv"}
+
         def to_device(batch):
+            batch = {k: v for k, v in batch.items() if k not in drop}
             if compute_dtype == "bfloat16":
                 import ml_dtypes
 

@@ -121,20 +121,40 @@ def preprocess_dataset(in_dir: str, cfg: Optional[Config] = None,
     import jax.numpy as jnp
 
     from ns2vc_tpu.audio.mel import log_mel_spectrogram
+    from ns2vc_tpu.features.contentvec import content_frames
 
-    for item in staged:
-        if item is None:
-            continue
-        out, wav16, wav24 = item
+    staged = [x for x in staged if x is not None]
+    # device stage: mel per file (cheap), contentvec in padded length
+    # buckets so the encoder runs as a few fixed-shape XLA programs
+    for out, wav16, wav24 in staged:
         spec = np.asarray(log_mel_spectrogram(
             jnp.asarray(wav24), cfg.data.sampling_rate, cfg.data.n_fft,
             cfg.data.hop_length, cfg.data.n_mels))
         np.save(out.replace(".wav", "") + ".spec.npy", spec[None])
-        if contentvec is not None:
-            c = np.asarray(contentvec.apply(contentvec_params,
-                                            jnp.asarray(wav16)[None]))
-            np.save(out + ".soft.npy", c.transpose(0, 2, 1))
         outs.append(out)
+
+    if contentvec is not None:
+        bucket = 16000 * 4  # 4-second sample buckets
+        by_bucket: dict[int, list] = {}
+        for idx, (out, wav16, _) in enumerate(staged):
+            n = -(-len(wav16) // bucket) * bucket
+            by_bucket.setdefault(n, []).append(idx)
+        for n, idxs in sorted(by_bucket.items()):
+            for i0 in range(0, len(idxs), 8):  # batch 8 per program
+                group = idxs[i0 : i0 + 8]
+                wavs = np.zeros((len(group), n), np.float32)
+                lengths = []
+                for row, idx in enumerate(group):
+                    w = staged[idx][1]
+                    wavs[row, : len(w)] = w
+                    lengths.append(len(w))
+                feats = np.asarray(contentvec.apply(
+                    contentvec_params, jnp.asarray(wavs),
+                    lengths=jnp.asarray(lengths)))
+                for row, idx in enumerate(group):
+                    t = content_frames(lengths[row])
+                    np.save(staged[idx][0] + ".soft.npy",
+                            feats[row : row + 1, :t].transpose(0, 2, 1))
     return outs
 
 

@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--sampling_timesteps", type=int, default=30)
+    p.add_argument("--solver_order", type=int, default=2, choices=[1, 2, 3],
+                   help="multistep order for dpmsolver/unipc")
     p.add_argument("-wf", "--wav_format", type=str, default="wav")
     p.add_argument("--raw_dir", type=str, default="raw")
     p.add_argument("--out_dir", type=str, default="output")
@@ -84,7 +86,8 @@ def main(argv=None):
                 sample_method=args.sample_method,
                 sampling_timesteps=args.sampling_timesteps,
                 clip_seconds=args.clip,
-                lg_seconds=args.linear_gradient)
+                lg_seconds=args.linear_gradient,
+                order=args.solver_order)
             base = os.path.splitext(os.path.basename(clean_name))[0]
             rbase = os.path.splitext(os.path.basename(refer_name))[0]
             out = os.path.join(

@@ -155,7 +155,7 @@ class Svc:
     def infer_from_features(self, c: np.ndarray, refer_mel: np.ndarray,
                             sample_method: str = "unipc",
                             sampling_timesteps: int = 30,
-                            seed: int = 0) -> np.ndarray:
+                            seed: int = 0, order: int = 2) -> np.ndarray:
         """content (T,256) + refer mel (Tp,100) -> waveform (T*hop,)."""
         t_len, tp_len = c.shape[0], refer_mel.shape[0]
         t_pad, tp_pad = _bucket(t_len, 64), _bucket(tp_len, 64)
@@ -169,7 +169,7 @@ class Svc:
                            jnp.asarray([tp_len]),
                            jax.random.PRNGKey(seed),
                            method=sample_method, steps=sampling_timesteps,
-                           compute_dtype=self.compute_dtype)
+                           compute_dtype=self.compute_dtype, order=order)
         mel = np.asarray(mel)[:, :t_len]
         if self.vocos is None:
             raise RuntimeError("vocos checkpoint missing — cannot vocode")
@@ -217,7 +217,8 @@ class Svc:
                         sample_method: str = "unipc",
                         sampling_timesteps: int = 30,
                         clip_seconds: float = 0,
-                        lg_seconds: float = 0) -> np.ndarray:
+                        lg_seconds: float = 0,
+                        order: int = 2) -> np.ndarray:
         from ns2vc_tpu.audio.slicer import Slicer
 
         wav, sr = read_wav(raw_audio_path)
@@ -234,7 +235,7 @@ class Svc:
                                      np.zeros(pad, np.float32)])
             c, f0, uv, _ = self.compute_features(padded, sr, tran)
             out = self.infer_from_features(c, refer_mel, sample_method,
-                                           sampling_timesteps)
+                                           sampling_timesteps, order=order)
             pad_frames = int(pad_seconds * self.target_sample)
             return out[pad_frames : pad_frames + length].astype(np.float32)
 

@@ -210,7 +210,7 @@ def generate_mel(model: NaturalSpeech2, params, c, refer, lengths,
                  refer_lengths, rng: jax.Array, method: str = "unipc",
                  steps: Optional[int] = None,
                  compute_dtype=None, f0=None, uv=None,
-                 auto_predict_f0: bool = True) -> jnp.ndarray:
+                 auto_predict_f0: bool = True, order: int = 2) -> jnp.ndarray:
     """Full sampling path: encode conditioning once, run one compiled
     sampler scan, return (B, T, 100) log-mel in float32
     (reference NaturalSpeech2.sample, model.py:605-696, minus vocoder).
@@ -235,5 +235,6 @@ def generate_mel(model: NaturalSpeech2, params, c, refer, lengths,
         (c.shape[0], t_len, model.cfg.diffusion_encoder.out_channels),
         compute_dtype or jnp.float32)
     schedule = NoiseSchedule(model.cfg.train.timesteps)
-    mel = run_sampler(method, x0_fn, x_T, schedule, steps, sample_rng)
+    mel = run_sampler(method, x0_fn, x_T, schedule, steps, sample_rng,
+                      order=order)
     return mel.astype(jnp.float32)

@@ -85,9 +85,13 @@ def main():
         refer_mask = sequence_mask(refer_lengths, refer.shape[1])
         content, prompt = model.apply(params, c, refer, c_mask, refer_mask,
                                       method=NaturalSpeech2.encode)
+        # step-invariant conditioning hoisted out of the 50-step scan
+        aug, kvs = model.apply(params, prompt,
+                               method=NaturalSpeech2.precompute_conditioning)
 
         def x0_fn(x, t):
             return model.apply(params, x, content, prompt, refer_mask, t,
+                               cross_kv=kvs, aug_emb=aug,
                                method=NaturalSpeech2.denoise)
 
         mel = unipc_sample(x0_fn, noise, schedule, steps=STEPS)

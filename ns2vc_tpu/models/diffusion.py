@@ -107,10 +107,8 @@ class DiffusionEncoder(nn.Module):
     cfg: Config
     remat: bool = False
 
-    @nn.compact
-    def __call__(self, x, content, prompt, prompt_mask, t):
+    def _unet(self):
         d = self.cfg.diffusion_encoder
-        h = jnp.concatenate([x, content], axis=-1)
         return UNet1DConditionModel(
             in_channels=d.in_channels + d.hidden_channels,
             out_channels=d.out_channels,
@@ -121,7 +119,21 @@ class DiffusionEncoder(nn.Module):
             num_attention_heads=d.n_heads,
             addition_embed_heads=d.addition_embed_heads,
             remat=self.remat,
-            name="unet")(h, t, prompt, encoder_attention_mask=prompt_mask)
+            name="unet")
+
+    @nn.compact
+    def __call__(self, x, content, prompt, prompt_mask, t,
+                 cross_kv=None, aug_emb=None, precompute_kv=False):
+        d = self.cfg.diffusion_encoder
+        if precompute_kv:
+            dummy = jnp.zeros(
+                (prompt.shape[0], 8, d.in_channels + d.hidden_channels),
+                prompt.dtype)
+            return self._unet()(dummy, jnp.zeros((prompt.shape[0],)), prompt,
+                                precompute_kv=True)
+        h = jnp.concatenate([x, content], axis=-1)
+        return self._unet()(h, t, prompt, encoder_attention_mask=prompt_mask,
+                            cross_kv=cross_kv, aug_emb=aug_emb)
 
 
 class NaturalSpeech2(nn.Module):
@@ -145,10 +157,20 @@ class NaturalSpeech2(nn.Module):
             f0=f0, uv=uv, auto_predict_f0=auto_predict_f0)
         return content, prompt
 
-    def denoise(self, x, content, prompt, prompt_mask, t):
+    def denoise(self, x, content, prompt, prompt_mask, t,
+                cross_kv=None, aug_emb=None):
         """x0-prediction at (possibly fractional) discrete label t
-        (reference sample_fun, model.py:520-526)."""
-        return self.diff_model(x, content, prompt, prompt_mask, t)
+        (reference sample_fun, model.py:520-526). cross_kv/aug_emb are the
+        optional step-invariant conditioning from
+        `precompute_conditioning`."""
+        return self.diff_model(x, content, prompt, prompt_mask, t,
+                               cross_kv=cross_kv, aug_emb=aug_emb)
+
+    def precompute_conditioning(self, prompt):
+        """Pooled-prompt embedding + every cross-attention K/V — constant
+        across sampler steps, hoisted out of the scan."""
+        return self.diff_model(None, None, prompt, None, None,
+                               precompute_kv=True)
 
     def __call__(self, batch: dict[str, Any], rng: jax.Array,
                  deterministic: bool = False):
@@ -197,11 +219,17 @@ class NaturalSpeech2(nn.Module):
         return total, aux
 
 
-def make_x0_fn(model: NaturalSpeech2, params, content, prompt, prompt_mask):
+def make_x0_fn(model: NaturalSpeech2, params, content, prompt, prompt_mask,
+               cached=None):
     """Bind step-invariant conditioning into a sampler-ready x0 function
-    (conditioning computed once per utterance — reference model.py:632/667)."""
+    (conditioning computed once per utterance — reference model.py:632/667;
+    `cached=(aug_emb, cross_kv)` additionally hoists the prompt's pooled
+    embedding and cross-attention K/V out of every step)."""
+    aug_emb, cross_kv = cached if cached is not None else (None, None)
+
     def x0_fn(x, t):
         return model.apply(params, x, content, prompt, prompt_mask, t,
+                           cross_kv=cross_kv, aug_emb=aug_emb,
                            method=NaturalSpeech2.denoise)
     return x0_fn
 
@@ -228,7 +256,10 @@ def generate_mel(model: NaturalSpeech2, params, c, refer, lengths,
                                   f0=f0, uv=uv,
                                   auto_predict_f0=auto_predict_f0,
                                   method=NaturalSpeech2.encode)
-    x0_fn = make_x0_fn(model, params, content, prompt, refer_mask)
+    cached = model.apply(params, prompt,
+                         method=NaturalSpeech2.precompute_conditioning)
+    x0_fn = make_x0_fn(model, params, content, prompt, refer_mask,
+                       cached=cached)
     noise_rng, sample_rng = jax.random.split(rng)
     x_T = jax.random.normal(
         noise_rng,

@@ -68,23 +68,38 @@ class TimestepEmbedding(nn.Module):
 
 class Attention(nn.Module):
     """diffusers-style attention: no qkv bias, biased out proj
-    (reference unet1d/attention_processor.py:26-355 + AttnProcessor2_0)."""
+    (reference unet1d/attention_processor.py:26-355 + AttnProcessor2_0).
+
+    `kv=(k, v)` skips the key/value projections — used to hoist the
+    step-invariant cross-attention K/V of the prompt out of the sampler
+    scan (the reference recomputes them on every NFE)."""
 
     query_dim: int
     heads: int
     dim_head: int
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
-                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        context = x if context is None else context
+    def setup(self):
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(context)
+        self.to_q = nn.Dense(inner, use_bias=False)
+        self.to_k = nn.Dense(inner, use_bias=False)
+        self.to_v = nn.Dense(inner, use_bias=False)
+        self.to_out_0 = nn.Dense(self.query_dim)
+
+    def compute_kv(self, context: jnp.ndarray):
+        return self.to_k(context), self.to_v(context)
+
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
+                 bias: Optional[jnp.ndarray] = None,
+                 kv: Optional[tuple] = None) -> jnp.ndarray:
+        q = self.to_q(x)
+        if kv is None:
+            context = x if context is None else context
+            k, v = self.compute_kv(context)
+        else:
+            k, v = kv
         out = multihead_attention(q, k, v, self.heads, bias=bias,
                                   scale=self.dim_head ** -0.5)
-        return nn.Dense(self.query_dim, name="to_out_0")(out)
+        return self.to_out_0(out)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -112,16 +127,26 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     cross_attention_dim: int
 
-    @nn.compact
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
+        self.attn1 = Attention(self.dim, self.heads, self.dim_head)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.attn2 = Attention(self.dim, self.heads, self.dim_head)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5)
+        self.ff = GEGLUFeedForward(self.dim)
+
+    def cross_kv(self, context: jnp.ndarray):
+        return self.attn2.compute_kv(context)
+
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
-                 context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        x = x + Attention(self.dim, self.heads, self.dim_head, name="attn1")(h)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        x = x + Attention(self.dim, self.heads, self.dim_head, name="attn2")(
-            h, context=context, bias=context_bias)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
-        return x + GEGLUFeedForward(self.dim, name="ff")(h)
+                 context_bias: Optional[jnp.ndarray] = None,
+                 kv: Optional[tuple] = None) -> jnp.ndarray:
+        h = self.norm1(x)
+        x = x + self.attn1(h)
+        h = self.norm2(x)
+        x = x + self.attn2(h, context=context, bias=context_bias, kv=kv)
+        h = self.norm3(x)
+        return x + self.ff(h)
 
 
 class Transformer1D(nn.Module):
@@ -133,18 +158,26 @@ class Transformer1D(nn.Module):
     cross_attention_dim: int
     norm_num_groups: int = 8
 
-    @nn.compact
+    def setup(self):
+        self.norm = nn.GroupNorm(num_groups=self.norm_num_groups,
+                                 epsilon=1e-6)
+        self.proj_in = nn.Dense(self.channels)
+        self.blocks_0 = BasicTransformerBlock(
+            self.channels, self.heads, self.channels // self.heads,
+            self.cross_attention_dim)
+        self.proj_out = nn.Dense(self.channels)
+
+    def cross_kv(self, context: jnp.ndarray):
+        return self.blocks_0.cross_kv(context)
+
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
-                 context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 context_bias: Optional[jnp.ndarray] = None,
+                 kv: Optional[tuple] = None) -> jnp.ndarray:
         residual = x
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
-                         name="norm")(x)
-        h = nn.Dense(self.channels, name="proj_in")(h)
-        h = BasicTransformerBlock(self.channels, self.heads,
-                                  self.channels // self.heads,
-                                  self.cross_attention_dim,
-                                  name="blocks_0")(h, context, context_bias)
-        h = nn.Dense(self.channels, name="proj_out")(h)
+        h = self.norm(x)
+        h = self.proj_in(h)
+        h = self.blocks_0(h, context, context_bias, kv=kv)
+        h = self.proj_out(h)
         return h + residual
 
 
@@ -224,16 +257,57 @@ class UNet1DConditionModel(nn.Module):
     flip_sin_to_cos: bool = True
     remat: bool = False
 
+    def _cross_attn_layout(self):
+        """(name, channels) of every cross-attention transformer, in forward
+        order — shared by the forward pass and the K/V precompute."""
+        chans = self.block_out_channels
+        n_levels = len(chans)
+        out = []
+        for i, ch in enumerate(chans):
+            if i < n_levels - 1:
+                for j in range(self.layers_per_block):
+                    out.append((f"down_{i}_attn_{j}", ch))
+        out.append(("mid_attn_0", chans[-1]))
+        for i, ch in enumerate(reversed(chans)):
+            if i > 0:
+                for j in range(self.layers_per_block + 1):
+                    out.append((f"up_{i}_attn_{j}", ch))
+        return out
+
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
                  encoder_hidden_states: jnp.ndarray,
-                 encoder_attention_mask: Optional[jnp.ndarray] = None
-                 ) -> jnp.ndarray:
+                 encoder_attention_mask: Optional[jnp.ndarray] = None,
+                 cross_kv: Optional[tuple] = None,
+                 aug_emb: Optional[jnp.ndarray] = None,
+                 precompute_kv: bool = False):
         from ns2vc_tpu.models.encoders import TextTimeEmbedding
 
         chans = self.block_out_channels
         time_embed_dim = chans[0] * 4
         n_levels = len(chans)
+
+        maybe_remat = (lambda f: nn.remat(f)) if self.remat else (lambda f: f)
+
+        def transformer(ch, name):
+            return maybe_remat(Transformer1D)(
+                ch, self.num_attention_heads, self.cross_attention_dim,
+                self.norm_num_groups, name=name)
+
+        if precompute_kv:
+            # step-invariant conditioning: pooled-prompt embedding + every
+            # cross-attention K/V (the reference recomputes these on every
+            # sampler NFE; here they are hoisted out of the sampling scan)
+            aug = TextTimeEmbedding(self.cross_attention_dim, time_embed_dim,
+                                    self.addition_embed_heads,
+                                    name="add_embedding")(encoder_hidden_states)
+            kvs = tuple(
+                Transformer1D(ch, self.num_attention_heads,
+                              self.cross_attention_dim, self.norm_num_groups,
+                              name=name).cross_kv(encoder_hidden_states)
+                for name, ch in self._cross_attn_layout())
+            return aug, kvs
+
         assert sample.shape[1] % (2 ** (n_levels - 1)) == 0, (
             f"T={sample.shape[1]} must be divisible by {2 ** (n_levels - 1)}")
 
@@ -248,21 +322,22 @@ class UNet1DConditionModel(nn.Module):
                                        self.flip_sin_to_cos, self.freq_shift)
         emb = TimestepEmbedding(time_embed_dim, name="time_embedding")(
             t_emb.astype(sample.dtype))
-        aug = TextTimeEmbedding(self.cross_attention_dim, time_embed_dim,
-                                self.addition_embed_heads,
-                                name="add_embedding")(encoder_hidden_states)
-        emb = emb + aug
+        if aug_emb is None:
+            aug_emb = TextTimeEmbedding(self.cross_attention_dim,
+                                        time_embed_dim,
+                                        self.addition_embed_heads,
+                                        name="add_embedding")(
+                encoder_hidden_states)
+        emb = emb + aug_emb
 
-        maybe_remat = (lambda f: nn.remat(f)) if self.remat else (lambda f: f)
+        kv_iter = iter(cross_kv) if cross_kv is not None else None
+
+        def next_kv():
+            return next(kv_iter) if kv_iter is not None else None
 
         def resnet(out_ch, name):
             return maybe_remat(ResnetBlock1D)(
                 out_ch, self.norm_num_groups, self.norm_eps, name=name)
-
-        def transformer(ch, name):
-            return maybe_remat(Transformer1D)(
-                ch, self.num_attention_heads, self.cross_attention_dim,
-                self.norm_num_groups, name=name)
 
         h = nn.Conv(chans[0], (3,), padding="SAME", name="conv_in")(sample)
         skips = [h]
@@ -275,7 +350,7 @@ class UNet1DConditionModel(nn.Module):
                 h = resnet(ch, f"down_{i}_resnet_{j}")(h, emb)
                 if not is_last:  # CrossAttnDownBlock2D
                     h = transformer(ch, f"down_{i}_attn_{j}")(
-                        h, encoder_hidden_states, context_bias)
+                        h, encoder_hidden_states, context_bias, kv=next_kv())
                 skips.append(h)
             if not is_last:
                 h = Downsample1D(ch, name=f"down_{i}_downsample")(h)
@@ -284,7 +359,7 @@ class UNet1DConditionModel(nn.Module):
         # ---- mid: resnet, [attn, resnet] (unet_1d_blocks.py:516-614)
         h = resnet(chans[-1], "mid_resnet_0")(h, emb)
         h = transformer(chans[-1], "mid_attn_0")(
-            h, encoder_hidden_states, context_bias)
+            h, encoder_hidden_states, context_bias, kv=next_kv())
         h = resnet(chans[-1], "mid_resnet_1")(h, emb)
 
         # ---- up path: Up, CrossAttnUp x3 (unet_1d_condition.py:165,
@@ -298,7 +373,7 @@ class UNet1DConditionModel(nn.Module):
                 h = resnet(ch, f"up_{i}_resnet_{j}")(h, emb)
                 if not is_first:  # CrossAttnUpBlock2D
                     h = transformer(ch, f"up_{i}_attn_{j}")(
-                        h, encoder_hidden_states, context_bias)
+                        h, encoder_hidden_states, context_bias, kv=next_kv())
             if not is_last:
                 h = Upsample1D(ch, name=f"up_{i}_upsample")(h)
 

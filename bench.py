@@ -116,11 +116,27 @@ def main():
 
     audio_seconds = B * T * HOP / SR
     rtf = audio_seconds / elapsed
+
+    # single-clip latency (B=1, T=400): the interactive-use number — same
+    # compiled program shape as Svc's jitted per-bucket path
+    args1 = (params, vparams, batch["c"][:1], batch["refer"][:1],
+             batch["lengths"][:1], batch["refer_lengths"][:1], noise[:1])
+    synthesize(*args1).block_until_ready()  # compile
+    t1 = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        synthesize(*args1).block_until_ready()
+        t1.append(time.perf_counter() - start)
+    single_ms = min(t1) * 1000.0
+    single_rtf = (T * HOP / SR) / (single_ms / 1000.0)
+
     print(json.dumps({
         "metric": "vc_synthesis_rtf_50step",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 200.0, 3),
+        "single_clip_ms": round(single_ms, 1),
+        "single_clip_rtf": round(single_rtf, 2),
     }))
 
 

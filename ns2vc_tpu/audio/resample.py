@@ -100,3 +100,25 @@ def resample(wav: jnp.ndarray, orig_freq: int, new_freq: int) -> jnp.ndarray:
     if orig_freq == new_freq:
         return wav
     return _get_resampler(orig_freq, new_freq)(wav)
+
+
+@functools.lru_cache(maxsize=16)
+def _get_np_kernel(orig_freq: int, new_freq: int):
+    gcd = math.gcd(orig_freq, new_freq)
+    kernel, width = sinc_resample_kernel(orig_freq, new_freq)
+    return kernel, width, orig_freq // gcd, new_freq // gcd
+
+
+def resample_np(wav: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray:
+    """NumPy twin of `resample` (identical polyphase kernel, host matmul).
+    For device-free contexts — e.g. forked data-loader workers, where
+    touching the inherited JAX client is unsafe."""
+    if orig_freq == new_freq:
+        return wav
+    kernel, width, orig, new = _get_np_kernel(orig_freq, new_freq)
+    length = wav.shape[-1]
+    x = np.pad(np.asarray(wav, np.float32), (width, width + orig))
+    w_total = kernel.shape[1]
+    frames = np.lib.stride_tricks.sliding_window_view(x, w_total)[::orig]
+    y = (frames @ kernel.T).reshape(-1)  # (n_pos, new) -> interleaved
+    return y[: -(-new * length // orig)]

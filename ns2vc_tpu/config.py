@@ -35,6 +35,10 @@ class TrainConfig:
     keep_ckpts: int = 3
     num_workers: int = 8
     all_in_mem: bool = False
+    # reference NaturalSpeech2 constructor options (model.py:446-449,
+    # 493-498): clamp the SNR loss weight at min_snr_gamma when enabled
+    min_snr_loss_weight: bool = False
+    min_snr_gamma: float = 5.0
     # TPU-native additions
     seed: int = 0
     grad_clip_norm: float = 1.0          # reference model.py:871

@@ -83,12 +83,11 @@ class VCDataset:
         if audio.ndim > 1:
             audio = audio.mean(axis=0)
         if sr != self.sampling_rate:
-            import jax.numpy as jnp
+            # NumPy path (identical polyphase kernel): keeps worker
+            # processes device-free — safe under fork
+            from ns2vc_tpu.audio.resample import resample_np
 
-            from ns2vc_tpu.audio.resample import resample
-
-            audio = np.asarray(resample(jnp.asarray(audio), sr,
-                                        self.sampling_rate))
+            audio = resample_np(audio, sr, self.sampling_rate)
         base = filename  # features live next to the wav, suffixed
         spec = _load_feature(base.replace(".wav", ""), ".spec")
         if spec.ndim == 3:
@@ -192,13 +191,39 @@ class FixedShapeCollator:
         return out
 
 
+def _process_worker(dataset, collator, batch_size, idx_q, out_q, wseed):
+    """Process-pool worker: pulls index chunks, loads + collates whole
+    batches with no GIL contention, pushes finished batch dicts."""
+    dataset.rng = random.Random(wseed)  # de-correlate random_slice crops
+    buf: list = []
+    try:
+        while True:
+            for i in idx_q.get():
+                item = dataset[i]
+                if item is not None:
+                    buf.append(item)
+            while len(buf) >= batch_size:
+                out_q.put(collator(buf[:batch_size]))
+                buf = buf[batch_size:]
+    except Exception:
+        import traceback
+
+        out_q.put(("__error__", traceback.format_exc()))
+
+
 def data_loader(dataset: VCDataset, collator: FixedShapeCollator,
                 batch_size: int, seed: int = 0, num_workers: int = 0,
                 drop_last: bool = True,
                 shard_index: int | None = None,
-                shard_count: int | None = None) -> Iterator[dict]:
+                shard_count: int | None = None,
+                use_processes: bool | None = None) -> Iterator[dict]:
     """Infinite shuffled batch iterator with optional background prefetch
-    threads (the reference uses a 32-worker torch DataLoader, model.py:777).
+    workers (the reference uses a 32-worker torch DataLoader, model.py:777).
+
+    Workers default to fork-based *processes* (threads hit the GIL on the
+    numpy-heavy load path: measured 3.9 steps/s host-fed vs a 9.28 steps/s
+    device rate with threads); pass use_processes=False for threads where
+    fork is unavailable.
 
     On multi-host meshes pass shard_index/shard_count (defaults to
     jax.process_index()/process_count()) so each host reads a disjoint
@@ -235,29 +260,59 @@ def data_loader(dataset: VCDataset, collator: FixedShapeCollator,
         while True:
             yield make_batch()
 
+    if use_processes is None:
+        import multiprocessing
+
+        use_processes = "fork" in multiprocessing.get_all_start_methods()
+
+    if use_processes:
+        import multiprocessing
+
+        ctx = multiprocessing.get_context("fork")
+        idx_q = ctx.Queue(maxsize=num_workers * 4)
+        out_q = ctx.Queue(maxsize=max(2, num_workers * 2))
+        for w in range(num_workers):
+            ctx.Process(
+                target=_process_worker,
+                args=(dataset, collator, batch_size, idx_q, out_q,
+                      seed * 7919 + 1000 + w),
+                daemon=True).start()
+
+        def feeder():  # index handout is trivial — one feeder thread
+            while True:
+                idx_q.put([next_index() for _ in range(batch_size)])
+
+        threading.Thread(target=feeder, daemon=True).start()
+        while True:
+            batch = out_q.get()
+            if isinstance(batch, tuple) and batch[0] == "__error__":
+                raise RuntimeError(f"data worker failed:\n{batch[1]}")
+            yield batch
+        return
+
     q: queue.Queue = queue.Queue(maxsize=max(2, num_workers * 2))
     lock = threading.Lock()
 
     def worker():
-        while True:
-            with lock:
-                try:
-                    items = [dataset[next_index()] for _ in range(batch_size)]
-                except Exception:  # propagate through the queue
-                    q.put(None)
-                    return
-            items = [i for i in items if i is not None]
-            while len(items) < batch_size:
-                with lock:
-                    extra = dataset[next_index()]
-                if extra is not None:
-                    items.append(extra)
-            q.put(collator(items))
+        try:
+            while True:
+                items = []
+                while len(items) < batch_size:
+                    with lock:  # lock covers index handout ONLY;
+                        idx = next_index()  # loading runs in parallel
+                    item = dataset[idx]
+                    if item is not None:
+                        items.append(item)
+                q.put(collator(items))
+        except Exception:  # propagate through the queue
+            import traceback
+
+            q.put(("__error__", traceback.format_exc()))
 
     for _ in range(num_workers):
         threading.Thread(target=worker, daemon=True).start()
     while True:
         batch = q.get()
-        if batch is None:
-            raise RuntimeError("data worker failed")
+        if isinstance(batch, tuple) and batch[0] == "__error__":
+            raise RuntimeError(f"data worker failed:\n{batch[1]}")
         yield batch

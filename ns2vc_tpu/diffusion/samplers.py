@@ -91,7 +91,10 @@ def ddim_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
         sqrt_an, cn, sigma, srt, srm1t = (c[i].astype(x.dtype)
                                           for i in range(1, 6))
         x0 = x0_fn(x, jnp.full((x.shape[0],), t))
-        pred_noise = (srt * x - x0) / srm1t
+        # final step folds srm1t to 0 and discards pred_noise via the
+        # select below; guard the division so no non-finite intermediate
+        # is ever produced (jax_debug_nans / future vjp safety)
+        pred_noise = (srt * x - x0) / jnp.maximum(srm1t, 1e-20)
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, x.shape, x.dtype)
         x_next = x0 * sqrt_an + cn * pred_noise + sigma * noise
@@ -228,32 +231,30 @@ def dpmpp_2m_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray,
 
 
 def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
-                 steps: int = 30, order: int = 2) -> jnp.ndarray:
-    """UniPC variant bh2, multistep predictor-corrector orders 1-3,
-    predict_x0 (reference defaults at model.py:654-687; math from
-    sampler/uni_pc.py:472-590; order-k rho systems solved on the host).
+                 steps: int = 30, order: int = 2,
+                 variant: str = "bh2") -> jnp.ndarray:
+    """UniPC multistep predictor-corrector, orders 1-3, predict_x0, all
+    three reference variants:
+    - 'bh2' (default, B_h = expm1(hh)) and 'bh1' (B_h = hh):
+      reference sampler/uni_pc.py:471-590 (the order-k rho systems are
+      solved on the host, no linalg in the loop);
+    - 'vary_coeff': reference sampler/uni_pc.py:369-469 (the C-matrix
+      inverses and h_phi_k series collapse to per-step scalar weights on
+      the host — the update has the same algebraic shape as bh).
 
     Follows the reference driver exactly: low-order warm-up, order-k body
     with corrector, and lower_order_final tail (the last k-1 updates drop
     to orders k-1..1; the final update runs without corrector,
     uni_pc.py:636-644). steps NFE total."""
     assert order in (1, 2, 3)
+    assert variant in ("bh2", "bh1", "vary_coeff")
     assert steps >= order + 1
     _, lam, alpha, sigma, t_in = _fast_sampler_consts(schedule, steps)
     h = lam[1:] - lam[:-1]
     hh = -h                                        # predict_x0
     h_phi_1 = np.expm1(hh)
-    b_h = np.expm1(hh)                             # bh2: B_h = expm1(hh)
-    # b_i sequence (uni_pc.py:506-522)
-    h_phi_k = h_phi_1 / hh - 1.0
-    b1 = h_phi_k / b_h
-    h_phi_k = h_phi_k / hh - 0.5
-    b2 = h_phi_k * 2.0 / b_h
-    h_phi_k = h_phi_k / hh - 1.0 / 6.0
-    b3 = h_phi_k * 6.0 / b_h
     sig_ratio = sigma[1:] / sigma[:-1]
     aphi = alpha[1:] * h_phi_1
-    a_bh = alpha[1:] * b_h
 
     def rks(i, k):
         """[r_1, ..., r_{k-1}] for the update with h-index i:
@@ -261,24 +262,60 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
         with lambda_prev_0 = lam[i])."""
         return [float((lam[i - j] - lam[i]) / h[i]) for j in range(1, k)]
 
-    def rho_c(i, k):
-        """order-k corrector weights: solve R rho = b with
-        R rows rks^(p-1), rks = [r_1..r_{k-1}, 1]."""
-        if k == 1:
-            return np.array([0.5])
-        r = np.array(rks(i, k) + [1.0])
-        R = np.stack([r ** p for p in range(k)])
-        b = np.array([b1[i], b2[i], b3[i]][:k])
-        return np.linalg.solve(R, b)
-
-    def rho_p(i, k):
-        """order-k predictor weights over the k-1 D1 terms."""
-        if k == 2:
-            return np.array([0.5])
-        r = np.array(rks(i, k))
-        R = np.stack([r ** p for p in range(k - 1)])
-        b = np.array([b1[i], b2[i], b3[i]][: k - 1])
-        return np.linalg.solve(R, b)
+    def step_weights(i, k):
+        """Per-step scalar weights (wp (k-1,), wc (k-1,), wt, scale) such
+        that the order-k update with h-index i is
+            x_  = sig_ratio*x - aphi*m0
+            x_p = x_ - scale * sum_j wp[j] * D1s[j]          (predictor)
+            x   = x_ - scale * (sum_j wc[j] * D1s[j]
+                                + wt * (m(x_p) - m0))        (corrector)
+        with D1s[j] = (m_j - m0) / r_j."""
+        hh_i = float(hh[i])
+        if variant in ("bh1", "bh2"):
+            # b_m sequence (uni_pc.py:506-522); bh1: B_h = hh (:511)
+            B = hh_i if variant == "bh1" else float(np.expm1(hh_i))
+            b = []
+            h_phi_k = np.expm1(hh_i) / hh_i - 1.0
+            fact = 1
+            for m in range(1, k + 1):
+                b.append(h_phi_k * fact / B)
+                fact *= m + 1
+                h_phi_k = h_phi_k / hh_i - 1.0 / fact
+            b = np.asarray(b)
+            r = np.asarray(rks(i, k) + [1.0])
+            R = np.stack([r ** p for p in range(k)])
+            rho_c = np.array([0.5]) if k == 1 else np.linalg.solve(R, b)
+            if k <= 1:
+                wp = np.zeros(0)
+            elif k == 2:   # simplified order-2 predictor (uni_pc.py:531-533)
+                wp = np.array([0.5])
+            else:
+                wp = np.linalg.solve(R[:-1, :-1], b[:-1])
+            return wp, rho_c[:-1], float(rho_c[-1]), float(alpha[i + 1] * B)
+        # vary_coeff (uni_pc.py:369-469): C[a, j] = r_a^j / (j+1)!,
+        # A_p = C[:-1,:-1]^-1, A_c = C^-1, combined over the h_phi_k series
+        K = k
+        r = np.asarray(rks(i, K) + [1.0])
+        fact = np.cumprod(np.arange(2, K + 2))            # (j+1)! for j>=1
+        C = np.stack([r ** j / (fact[j - 1] if j else 1.0)
+                      for j in range(K)], axis=1)
+        hps = []                                          # h_phi_ks[0..K]
+        h_phi_k = np.expm1(hh_i)
+        f = 1
+        for m in range(1, K + 2):
+            hps.append(h_phi_k)
+            h_phi_k = h_phi_k / hh_i - 1.0 / f
+            f *= m + 1
+        A_c = np.linalg.inv(C)
+        if K >= 2:
+            A_p = np.linalg.inv(C[:-1, :-1])
+            wp = sum(hps[kk + 1] * A_p[kk] for kk in range(K - 1))
+            wc = sum(hps[kk + 1] * A_c[kk][:-1] for kk in range(K - 1))
+        else:
+            wp = wc = np.zeros(0)
+        k_last = K - 2 if K >= 2 else 0   # reference loop-variable quirk
+        wt = float(hps[K] * A_c[k_last][-1])              # (uni_pc.py:466-468)
+        return wp, wc, wt, float(alpha[i + 1])
 
     def eval_m(x, i):
         return x0_fn(x, jnp.full((x.shape[0],), np.float32(t_in[i])))
@@ -291,23 +328,20 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
         return out
 
     def update(x, i, k, m0, m1, m2, use_corrector):
-        """One multistep bh update with h-index i at order k."""
+        """One multistep update with h-index i at order k."""
+        wp, wc, wt, scale = step_weights(i, k)
         x_ = float(sig_ratio[i]) * x - float(aphi[i]) * m0
         ds = d1s(i, k, m0, m1, m2) if k >= 2 else []
-        if ds:
-            p = rho_p(i, k)
-            x_t = x_ - float(a_bh[i]) * sum(
-                float(p[j]) * ds[j] for j in range(len(ds)))
-        else:
-            x_t = x_
+        x_t = x_
+        for j in range(len(ds)):
+            x_t = x_t - scale * float(wp[j]) * ds[j]
         if not use_corrector:
             return x_t, None
         m_t = eval_m(x_t, i + 1)
-        c = rho_c(i, k)
-        corr = float(c[-1]) * (m_t - m0)
+        corr = wt * (m_t - m0)
         for j in range(len(ds)):
-            corr = corr + float(c[j]) * ds[j]
-        return x_ - float(a_bh[i]) * corr, m_t
+            corr = corr + float(wc[j]) * ds[j]
+        return x_ - scale * corr, m_t
 
     x = x_T
     m0 = eval_m(x, 0)
@@ -324,48 +358,35 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
     # (lower_order_final): update with h-index steps-1-j runs at order
     # min(order, j+1); the final update (j=0) skips the corrector.
     body_end = steps - order  # h-indices [hi, body_end) run at full order
-    if body_end > hi and order == 1:
+    if body_end > hi:
         idx = np.arange(hi, body_end)
-        consts = jnp.asarray(np.stack(
-            [sig_ratio[idx], aphi[idx], a_bh[idx], t_in[idx + 1]],
-            axis=1).astype(np.float32))
-
-        def body1(carry, c):
-            x, m0 = carry
-            sr, ap, abh, ti = (c[i].astype(x.dtype) for i in range(4))
-            x_ = sr * x - ap * m0
-            m_t = x0_fn(x_, jnp.full((x.shape[0],), ti))
-            x = x_ - abh * 0.5 * (m_t - m0)
-            return (x, m_t), None
-
-        (x, m0), _ = jax.lax.scan(body1, (x, m0), consts)
-        hi = body_end
-    elif body_end > hi:
-        idx = np.arange(hi, body_end)
-        cols = [sig_ratio[idx], aphi[idx], a_bh[idx], t_in[idx + 1]]
-        r_arr = np.stack([rks(i, order) for i in idx])          # (n, k-1)
-        rp = np.stack([rho_p(i, order) for i in idx])           # (n, k-1)
-        rc = np.stack([rho_c(i, order) for i in idx])           # (n, k)
-        consts = jnp.asarray(np.concatenate(
-            [np.stack(cols, axis=1), r_arr, rp, rc], axis=1).astype(np.float32))
-        n_r = r_arr.shape[1]
+        n_r = order - 1
+        rows = []
+        for i in idx:
+            wp, wc, wt, scale = step_weights(i, order)
+            rows.append([sig_ratio[i], aphi[i], scale, t_in[i + 1],
+                         *rks(i, order), *wp, *wc, wt])
+        consts = jnp.asarray(np.asarray(rows, np.float32))
 
         def body(carry, c):
             x, m0, m1, m2 = carry
-            sr, ap, abh, ti = (c[i].astype(x.dtype) for i in range(4))
+            sr, ap, scale, ti = (c[i].astype(x.dtype) for i in range(4))
             r = [c[4 + j].astype(x.dtype) for j in range(n_r)]
             p = [c[4 + n_r + j].astype(x.dtype) for j in range(n_r)]
-            cc = [c[4 + 2 * n_r + j].astype(x.dtype) for j in range(n_r + 1)]
-            ds = [(m1 - m0) / r[0]]
+            cc = [c[4 + 2 * n_r + j].astype(x.dtype) for j in range(n_r)]
+            wt = c[4 + 3 * n_r].astype(x.dtype)
+            ds = [(m1 - m0) / r[0]] if n_r >= 1 else []
             if order >= 3:
                 ds.append((m2 - m0) / r[1])
             x_ = sr * x - ap * m0
-            x_p = x_ - abh * sum(p[j] * ds[j] for j in range(n_r))
+            x_p = x_
+            for j in range(n_r):
+                x_p = x_p - scale * p[j] * ds[j]
             m_t = x0_fn(x_p, jnp.full((x.shape[0],), ti))
-            corr = cc[-1] * (m_t - m0)
+            corr = wt * (m_t - m0)
             for j in range(n_r):
                 corr = corr + cc[j] * ds[j]
-            x = x_ - abh * corr
+            x = x_ - scale * corr
             return (x, m_t, m0, m1), None
 
         (x, m0, m1, m2), _ = jax.lax.scan(body, (x, m0, m1, m2), consts)
@@ -383,9 +404,11 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
 
 def sample(method: str, x0_fn: DenoiseFn, x_T: jnp.ndarray,
            schedule: NoiseSchedule, steps: int | None = None,
-           rng: jax.Array | None = None, order: int = 2) -> jnp.ndarray:
+           rng: jax.Array | None = None, order: int = 2,
+           variant: str = "bh2") -> jnp.ndarray:
     """Dispatch matching reference NaturalSpeech2.sample's method names and
-    default step counts / orders (model.py:605-687)."""
+    default step counts / orders (model.py:605-687). `variant` selects the
+    UniPC flavor (bh2/bh1/vary_coeff, uni_pc.py:303-310)."""
     if method == "ddpm":
         return ddpm_sample(x0_fn, x_T, schedule,
                            rng if rng is not None else jax.random.PRNGKey(0))
@@ -394,5 +417,6 @@ def sample(method: str, x0_fn: DenoiseFn, x_T: jnp.ndarray,
     if method == "dpmsolver":
         return dpmpp_2m_sample(x0_fn, x_T, schedule, steps or 40, order=order)
     if method == "unipc":
-        return unipc_sample(x0_fn, x_T, schedule, steps or 30, order=order)
+        return unipc_sample(x0_fn, x_T, schedule, steps or 30, order=order,
+                            variant=variant)
     raise ValueError(f"unknown sample method {method!r}")

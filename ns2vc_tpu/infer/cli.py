@@ -14,20 +14,27 @@ from ns2vc_tpu.infer.svc import Svc
 from ns2vc_tpu.utils.wavio import write_wav
 
 
-def crossfade_concat(pieces: list[np.ndarray], cross_len: int) -> np.ndarray:
-    """Linear-gradient crossfade between consecutive clips
-    (reference infer.py:133-139)."""
+def crossfade_concat(pieces: list[np.ndarray], cross_len: int,
+                     retain: float = 1.0) -> np.ndarray:
+    """Linear-gradient crossfade between consecutive (overlapping) clips
+    with `retain` (-lgr) retention: of the cross_len overlap, the middle
+    retain-fraction is blended and the flanks are discarded
+    (reference infer.py:87-90, 133-139)."""
     if not pieces:
         return np.zeros(0, np.float32)
     out = pieces[0]
+    r = int(cross_len * retain)
+    c_l = (cross_len - r) // 2
+    c_r = cross_len - r - c_l
+    ramp = np.linspace(0, 1, r, dtype=np.float32) if r > 0 else None
     for nxt in pieces[1:]:
-        n = min(cross_len, len(out), len(nxt))
-        if n > 0:
-            ramp = np.linspace(0, 1, n, dtype=np.float32)
-            merged = out[-n:] * (1 - ramp) + nxt[:n] * ramp
-            out = np.concatenate([out[:-n], merged, nxt[n:]])
-        else:
+        if r <= 0 or len(out) < r + c_r or len(nxt) < c_l + r:
             out = np.concatenate([out, nxt])
+            continue
+        lg1 = out[-(r + c_r): len(out) - c_r] if c_r else out[-r:]
+        lg2 = nxt[c_l : c_l + r]
+        merged = lg1 * (1 - ramp) + lg2 * ramp
+        out = np.concatenate([out[: -(r + c_r)], merged, nxt[c_l + r :]])
     return out
 
 
@@ -40,15 +47,36 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--clean_names", type=str, nargs="+", required=True)
     p.add_argument("-r", "--refer_names", type=str, nargs="+", required=True)
     p.add_argument("-t", "--trans", type=int, nargs="+", default=[0])
-    p.add_argument("-s", "--slice_db", type=int, default=-40)
-    p.add_argument("--clip", type=float, default=0,
+    p.add_argument("-a", "--auto_predict_f0", action="store_true",
+                   default=False,
+                   help="predict F0 from content instead of the source "
+                        "pitch (only meaningful for f0_predictor-enabled "
+                        "checkpoints; the reference flag defaults True by a "
+                        "store_true/default=True bug, infer.py:32)")
+    p.add_argument("-fmp", "--f0_mean_pooling", action="store_true",
+                   default=False,
+                   help="use CREPE F0 with mean-pooling decode "
+                        "(reference infer.py:38-39; needs --crepe_ckpt)")
+    p.add_argument("-ft", "--f0_filter_threshold", type=float, default=0.05,
+                   help="CREPE voicing threshold, valid with -fmp "
+                        "(reference infer.py:52-53)")
+    p.add_argument("-sd", "-s", "--slice_db", type=int, default=-40)
+    p.add_argument("-cl", "--clip", type=float, default=0,
                    help="force-clip long segments to this many seconds")
     p.add_argument("-lg", "--linear_gradient", type=float, default=0,
                    help="crossfade seconds between forced clips")
-    p.add_argument("--pad_seconds", type=float, default=0.5)
+    p.add_argument("-lgr", "--linear_gradient_retain", type=float,
+                   default=0.75,
+                   help="retained fraction of the crossfade overlap, "
+                        "range (0-1] (reference infer.py:50-51)")
+    p.add_argument("-p", "--pad_seconds", type=float, default=0.5)
+    p.add_argument("-d", "--device", type=str, default=None,
+                   help="accepted for reference-CLI parity; device "
+                        "selection is JAX_PLATFORMS / jax.default_device")
     p.add_argument("--contentvec_ckpt", type=str,
                    default="hubert/checkpoint_best_legacy_500.pt")
     p.add_argument("--vocos_ckpt", type=str, default=None)
+    p.add_argument("--crepe_ckpt", type=str, default="crepe/full.pth")
     p.add_argument("--sample_method", type=str, default="unipc",
                    choices=["ddpm", "ddim", "dpmsolver", "unipc"])
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
@@ -67,6 +95,7 @@ def main(argv=None):
     svc = Svc(args.model_path, args.config_path,
               contentvec_ckpt=args.contentvec_ckpt,
               vocos_ckpt=args.vocos_ckpt,
+              crepe_ckpt=args.crepe_ckpt,
               compute_dtype=args.compute_dtype)
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -87,11 +116,16 @@ def main(argv=None):
                 sampling_timesteps=args.sampling_timesteps,
                 clip_seconds=args.clip,
                 lg_seconds=args.linear_gradient,
-                order=args.solver_order)
+                lgr=args.linear_gradient_retain,
+                order=args.solver_order,
+                auto_predict_f0=args.auto_predict_f0,
+                f0_mean_pooling=args.f0_mean_pooling,
+                cr_threshold=args.f0_filter_threshold)
             base = os.path.splitext(os.path.basename(clean_name))[0]
             rbase = os.path.splitext(os.path.basename(refer_name))[0]
+            key = "auto" if args.auto_predict_f0 else f"{tran}key"
             out = os.path.join(
-                args.out_dir, f"{base}_{tran}key_{rbase}.{args.wav_format}")
+                args.out_dir, f"{base}_{key}_{rbase}.{args.wav_format}")
             write_wav(out, audio, svc.target_sample)
             print(f"wrote {out}")
 

@@ -5,10 +5,24 @@ API-compatible rebuild of the reference inference stack
 Vocos, recomputes all features online for the source and reference audio,
 runs the diffusion sampler, and decodes with Vocos.
 
+Feature parity with the reference online path:
+- F0 defaults to autocorrelation pitch (the reference's parselmouth
+  default, infer_tool.py:152 -> utils.py:156-173) via the from-scratch
+  Boersma tracker in audio/pitch_ac.py, with DIO as fallback;
+- `F0_mean_pooling=True` switches to CREPE with `cr_threshold` voicing
+  filtering (reference utils.py:82-94, infer_tool.py:146);
+- `f0_filter=True` raises F0FilterException on all-unvoiced input
+  (reference infer_tool.py:147/153);
+- f0/uv flow into the sampler so `f0_predictor.enabled` checkpoints keep
+  their F0 conditioning (reference model.py:605-608), with
+  `auto_predict_f0` selecting predicted-vs-source F0 for the embedding.
+
 TPU-first differences:
-- features, sampler, and vocoder run as three jitted fixed-shape programs;
-  inputs are padded to shape buckets so repeat calls hit the compile cache
-  (the reference re-dispatches per sampler step from Python);
+- the ENTIRE inference program — encoders, step-invariant conditioning
+  precompute, the sampler scan, and the Vocos decode — is ONE jitted
+  XLA program per (method, steps, order, ...) config; inputs are padded
+  to shape buckets so repeat calls hit the compile cache (the reference
+  re-dispatches per sampler step from Python);
 - `infer_batch` converts many clips in one device batch (the sampler scan
   is batch-parallel for free);
 - the reference's broken so-vits-svc vestiges (`slice_inference`,
@@ -35,6 +49,10 @@ from ns2vc_tpu.models.diffusion import NaturalSpeech2, generate_mel
 from ns2vc_tpu.utils.wavio import read_wav
 
 
+class F0FilterException(Exception):
+    """No voice detected (reference infer_tool.py:117-118)."""
+
+
 def _bucket(n: int, step: int = 64) -> int:
     """Round up to a shape bucket (multiple of `step`, at least one step)."""
     return max(step, -(-n // step) * step)
@@ -45,10 +63,12 @@ class Svc:
                  config_path: Optional[str] = None,
                  contentvec_ckpt: str = "hubert/checkpoint_best_legacy_500.pt",
                  vocos_ckpt: Optional[str] = None,
+                 crepe_ckpt: str = "crepe/full.pth",
                  config: Optional[Config] = None,
                  params: Optional[dict] = None,
                  contentvec_params: Optional[dict] = None,
                  vocos_params: Optional[dict] = None,
+                 crepe_params: Optional[dict] = None,
                  compute_dtype: Optional[str] = None):
         self.cfg = config or load_config(config_path)
         self.compute_dtype = (None if compute_dtype in (None, "float32")
@@ -60,6 +80,7 @@ class Svc:
         self.model = NaturalSpeech2(self.cfg)
         self.params = params if params is not None \
             else self._load_model(net_g_path)
+        self._infer_cache: dict = {}
 
         self.contentvec = self.contentvec_params = None
         if contentvec_params is not None:
@@ -87,6 +108,14 @@ class Svc:
             sd = torch.load(vocos_ckpt, map_location="cpu")
             self.vocos_params = {"params": convert_vocos_state_dict(sd)}
 
+        self.crepe = self.crepe_params = None
+        self._crepe_ckpt = crepe_ckpt
+        if crepe_params is not None:
+            from ns2vc_tpu.features.crepe import Crepe
+
+            self.crepe = Crepe()
+            self.crepe_params = crepe_params
+
     def _load_model(self, path: Optional[str]):
         if path is None:
             raise ValueError("Svc needs either `net_g_path` or `params`")
@@ -104,18 +133,63 @@ class Svc:
         restored = mgr.restore(step)
         return restored["params"] if "params" in restored else restored.params
 
+    def _load_crepe(self):
+        if self.crepe is None:
+            if not os.path.exists(self._crepe_ckpt):
+                raise RuntimeError(
+                    f"F0_mean_pooling needs CREPE weights at "
+                    f"{self._crepe_ckpt!r} (torchcrepe's full.pth), or pass "
+                    f"crepe_params to Svc")
+            from ns2vc_tpu.features.crepe import load_crepe
+
+            self.crepe, self.crepe_params = load_crepe(self._crepe_ckpt)
+        return self.crepe, self.crepe_params
+
     # -- feature extraction (reference get_unit_f0_code,
     #    infer_tool.py:141-187) ------------------------------------------
 
-    def compute_features(self, wav: np.ndarray, sr: int, tran: int = 0):
-        """source wav -> (content (1,T,256), f0, uv) at the mel frame rate."""
+    def compute_f0(self, wav24: np.ndarray, tran: int = 0,
+                   f0_mean_pooling: bool = False,
+                   cr_threshold: float = 0.05,
+                   f0_filter: bool = False):
+        """Online F0 at the mel frame rate -> (f0, uv), transposed by
+        `tran` semitones. Default is the AC (parselmouth-equivalent) path
+        (reference infer_tool.py:152), CREPE when f0_mean_pooling
+        (infer_tool.py:146), DIO if the AC tracker fails."""
+        if f0_mean_pooling:
+            from ns2vc_tpu.features.crepe import compute_f0_uv_crepe
+
+            model, params = self._load_crepe()
+            f0, uv = compute_f0_uv_crepe(
+                wav24, sampling_rate=self.target_sample,
+                hop_length=self.hop_size, threshold=cr_threshold,
+                model=model, params=params)
+        else:
+            try:
+                from ns2vc_tpu.audio.pitch_ac import compute_f0_ac
+
+                f0 = compute_f0_ac(wav24, sampling_rate=self.target_sample,
+                                   hop_length=self.hop_size)
+            except Exception:
+                f0 = compute_f0_dio(wav24, sampling_rate=self.target_sample,
+                                    hop_length=self.hop_size)
+            f0, uv = interpolate_f0(f0)
+        if f0_filter and float(np.sum(f0)) == 0.0:
+            raise F0FilterException("No voice detected")
+        f0 = f0 * 2 ** (tran / 12)  # semitone transpose (infer_tool.py:159)
+        return f0, uv
+
+    def compute_features(self, wav: np.ndarray, sr: int, tran: int = 0,
+                         f0_mean_pooling: bool = False,
+                         cr_threshold: float = 0.05,
+                         f0_filter: bool = False):
+        """source wav -> (content (T,256), f0, uv, wav24) at the mel frame
+        rate (reference get_unit_f0_code, infer_tool.py:141-187)."""
         if wav.ndim > 1:
             wav = wav.mean(axis=0)
         wav24 = np.asarray(resample(jnp.asarray(wav), sr, self.target_sample))
-        f0 = compute_f0_dio(wav24, sampling_rate=self.target_sample,
-                            hop_length=self.hop_size)
-        f0, uv = interpolate_f0(f0)
-        f0 = f0 * 2 ** (tran / 12)  # semitone transpose (infer_tool.py:159)
+        f0, uv = self.compute_f0(wav24, tran, f0_mean_pooling, cr_threshold,
+                                 f0_filter)
 
         if self.contentvec is None:
             raise RuntimeError(
@@ -136,27 +210,68 @@ class Svc:
             self.hop_size, self.cfg.data.n_mels))
         return mel.T  # (Tp, 100)
 
+    # -- the compiled program ---------------------------------------------
+
+    def _get_infer_fn(self, method: str, steps: int, order: int,
+                      use_f0: bool, auto_predict_f0: bool, vocode: bool):
+        """One jitted end-to-end program per sampler config: encode +
+        conditioning precompute + sampler scan + Vocos decode. Shape
+        buckets key retraces; repeat calls at a bucket hit the cache."""
+        key = (method, steps, order, use_f0, auto_predict_f0, vocode)
+        fn = self._infer_cache.get(key)
+        if fn is not None:
+            return fn
+
+        vocos = self.vocos  # module hyperparams are static in the trace;
+        # reassigning svc.vocos after a call at this key keeps the old trace
+
+        def run(params, vocos_params, c, refer, lengths, refer_lengths,
+                f0, uv, rng):
+            mel = generate_mel(self.model, params, c, refer, lengths,
+                               refer_lengths, rng, method=method,
+                               steps=steps, compute_dtype=self.compute_dtype,
+                               f0=f0, uv=uv,
+                               auto_predict_f0=auto_predict_f0, order=order)
+            wav = None
+            if vocode:
+                wav = vocos.apply(vocos_params, mel)
+            return mel, wav
+
+        fn = jax.jit(run)
+        self._infer_cache[key] = fn
+        return fn
+
     # -- single-clip inference (reference Svc.infer,
     #    infer_tool.py:189-206) -------------------------------------------
 
     def infer(self, tran: int, raw_path: str, refer_path: str,
+              auto_predict_f0: bool = False, f0_filter: bool = False,
+              F0_mean_pooling: bool = False, cr_threshold: float = 0.05,
               sample_method: str = "unipc", sampling_timesteps: int = 30,
-              seed: int = 0):
+              seed: int = 0, order: int = 2):
         wav, sr = read_wav(raw_path)
         refer_wav, refer_sr = read_wav(refer_path)
-        c, f0, uv, _ = self.compute_features(wav, sr, tran)
+        c, f0, uv, _ = self.compute_features(
+            wav, sr, tran, f0_mean_pooling=F0_mean_pooling,
+            cr_threshold=cr_threshold, f0_filter=f0_filter)
         refer_mel = self.compute_refer_mel(refer_wav, refer_sr)
         start = time.time()
-        audio = self.infer_from_features(c, refer_mel, sample_method,
-                                         sampling_timesteps, seed)
+        audio = self.infer_from_features(
+            c, refer_mel, sample_method, sampling_timesteps, seed,
+            order=order, f0=f0, uv=uv, auto_predict_f0=auto_predict_f0)
         print(f"ns2vc use time:{time.time() - start}")
         return audio, audio.shape[-1]
 
     def infer_from_features(self, c: np.ndarray, refer_mel: np.ndarray,
                             sample_method: str = "unipc",
                             sampling_timesteps: int = 30,
-                            seed: int = 0, order: int = 2) -> np.ndarray:
-        """content (T,256) + refer mel (Tp,100) -> waveform (T*hop,)."""
+                            seed: int = 0, order: int = 2,
+                            f0: Optional[np.ndarray] = None,
+                            uv: Optional[np.ndarray] = None,
+                            auto_predict_f0: bool = False) -> np.ndarray:
+        """content (T,256) + refer mel (Tp,100) -> waveform (T*hop,).
+        f0/uv condition the sampler when cfg.f0_predictor.enabled
+        (reference model.py:605-608)."""
         t_len, tp_len = c.shape[0], refer_mel.shape[0]
         t_pad, tp_pad = _bucket(t_len, 64), _bucket(tp_len, 64)
         c_in = np.zeros((1, t_pad, c.shape[1]), np.float32)
@@ -164,23 +279,30 @@ class Svc:
         r_in = np.zeros((1, tp_pad, refer_mel.shape[1]), np.float32)
         r_in[0, :tp_len] = refer_mel
 
-        mel = generate_mel(self.model, self.params, jnp.asarray(c_in),
-                           jnp.asarray(r_in), jnp.asarray([t_len]),
-                           jnp.asarray([tp_len]),
-                           jax.random.PRNGKey(seed),
-                           method=sample_method, steps=sampling_timesteps,
-                           compute_dtype=self.compute_dtype, order=order)
-        mel = np.asarray(mel)[:, :t_len]
+        use_f0 = f0 is not None and self.cfg.f0_predictor.enabled
+        f0_in = uv_in = None
+        if use_f0:
+            f0_in = np.zeros((1, t_pad), np.float32)
+            f0_in[0, :t_len] = f0[:t_len]
+            uv_in = np.zeros((1, t_pad), np.float32)
+            if uv is not None:
+                uv_in[0, :t_len] = uv[:t_len]
+            f0_in, uv_in = jnp.asarray(f0_in), jnp.asarray(uv_in)
+
         if self.vocos is None:
             raise RuntimeError("vocos checkpoint missing — cannot vocode")
-        wav = np.asarray(self.vocos.apply(self.vocos_params,
-                                          jnp.asarray(mel)))
-        return wav[0]
+        fn = self._get_infer_fn(sample_method, sampling_timesteps, order,
+                                use_f0, auto_predict_f0, vocode=True)
+        _, wav = fn(self.params, self.vocos_params, jnp.asarray(c_in),
+                    jnp.asarray(r_in), jnp.asarray([t_len]),
+                    jnp.asarray([tp_len]), f0_in, uv_in,
+                    jax.random.PRNGKey(seed))
+        return np.asarray(wav)[0, : t_len * self.hop_size]
 
     def infer_batch(self, clips: list, refer_mel: np.ndarray,
                     sample_method: str = "unipc",
                     sampling_timesteps: int = 30,
-                    seed: int = 0) -> list:
+                    seed: int = 0, order: int = 2) -> list:
         """Convert many clips in ONE device batch — the sampler scan is
         batch-parallel, so N clips cost ~one clip of latency. `clips` is a
         list of (T_i, 256) content arrays; returns a list of waveforms.
@@ -198,14 +320,16 @@ class Svc:
         r_in = np.zeros((n, tp_pad, refer_mel.shape[1]), np.float32)
         r_in[:, :tp_len] = refer_mel[None]
 
-        mel = generate_mel(self.model, self.params, jnp.asarray(c_in),
-                           jnp.asarray(r_in), jnp.asarray(t_lens),
-                           jnp.full((n,), tp_len), jax.random.PRNGKey(seed),
-                           method=sample_method, steps=sampling_timesteps,
-                           compute_dtype=self.compute_dtype)
         if self.vocos is None:
             raise RuntimeError("vocos checkpoint missing — cannot vocode")
-        wav = np.asarray(self.vocos.apply(self.vocos_params, mel))
+        fn = self._get_infer_fn(sample_method, sampling_timesteps, order,
+                                use_f0=False, auto_predict_f0=False,
+                                vocode=True)
+        _, wav = fn(self.params, self.vocos_params, jnp.asarray(c_in),
+                    jnp.asarray(r_in), jnp.asarray(t_lens),
+                    jnp.full((n,), tp_len), None, None,
+                    jax.random.PRNGKey(seed))
+        wav = np.asarray(wav)
         return [wav[i, : t_lens[i] * self.hop_size] for i in range(n)]
 
     # -- sliced long-form inference (working replacement for the
@@ -218,7 +342,11 @@ class Svc:
                         sampling_timesteps: int = 30,
                         clip_seconds: float = 0,
                         lg_seconds: float = 0,
-                        order: int = 2) -> np.ndarray:
+                        lgr: float = 0.75,
+                        order: int = 2,
+                        auto_predict_f0: bool = False,
+                        f0_mean_pooling: bool = False,
+                        cr_threshold: float = 0.05) -> np.ndarray:
         from ns2vc_tpu.audio.slicer import Slicer
 
         wav, sr = read_wav(raw_audio_path)
@@ -233,9 +361,12 @@ class Svc:
             pad = int(pad_seconds * sr)
             padded = np.concatenate([np.zeros(pad, np.float32), data,
                                      np.zeros(pad, np.float32)])
-            c, f0, uv, _ = self.compute_features(padded, sr, tran)
-            out = self.infer_from_features(c, refer_mel, sample_method,
-                                           sampling_timesteps, order=order)
+            c, f0, uv, _ = self.compute_features(
+                padded, sr, tran, f0_mean_pooling=f0_mean_pooling,
+                cr_threshold=cr_threshold)
+            out = self.infer_from_features(
+                c, refer_mel, sample_method, sampling_timesteps,
+                order=order, f0=f0, uv=uv, auto_predict_f0=auto_predict_f0)
             pad_frames = int(pad_seconds * self.target_sample)
             return out[pad_frames : pad_frames + length].astype(np.float32)
 
@@ -252,13 +383,17 @@ class Svc:
                 pieces.append(np.zeros(length, np.float32))
                 continue
             if clip_seconds > 0 and len(data) > clip_seconds * sr:
-                # forced clipping with linear-gradient crossfade
-                # (reference infer.py --clip/-lg flags, infer.py:30-35)
+                # forced clipping: overlap consecutive clips by lg and
+                # crossfade with lgr retention (reference infer.py:85-90,
+                # 108-139 and split_list_by_n, infer_tool.py:111-113)
                 n = int(clip_seconds * sr)
+                lg_src = int(lg_seconds * sr)
                 lg = int(lg_seconds * self.target_sample)
-                subs = [convert_clip(data[i : i + n])
+                subs = [convert_clip(
+                            data[(i - lg_src if i - lg_src >= 0 else i)
+                                 : i + n])
                         for i in range(0, len(data), n)]
-                pieces.append(crossfade_concat(subs, lg)[:length])
+                pieces.append(crossfade_concat(subs, lg, retain=lgr)[:length])
             else:
                 pieces.append(convert_clip(data))
         return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
@@ -268,6 +403,7 @@ class Svc:
 
     def unload_model(self):
         self.params = None
+        self._infer_cache.clear()
 
 
 class RealTimeVC:
@@ -287,7 +423,8 @@ class RealTimeVC:
                 sampling_timesteps: int = 30) -> np.ndarray:
         c, f0, uv, _ = self.svc.compute_features(wav_chunk, sr, tran)
         out = np.array(self.svc.infer_from_features(
-            c, refer_mel, sample_method, sampling_timesteps))
+            c, refer_mel, sample_method, sampling_timesteps,
+            f0=f0, uv=uv))
         if self.last_tail is not None and self.pre_len > 0:
             n = min(self.pre_len, len(out), len(self.last_tail))
             ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)

@@ -27,6 +27,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ns2vc_tpu.config import Config
 from ns2vc_tpu.diffusion.samplers import sample as run_sampler
@@ -206,7 +207,12 @@ class NaturalSpeech2(nn.Module):
         x_start = x_start.astype(jnp.float32)
         loss = (model_out - x_start) ** 2
         loss = jnp.mean(loss.reshape(b, -1), axis=-1)
-        weight = jnp.asarray(self.schedule.snr, jnp.float32)[t]
+        snr = self.schedule.snr
+        if self.cfg.train.min_snr_loss_weight:
+            # reference min_snr_loss_weight option (model.py:446-449,
+            # 493-498): clamp the SNR weight at gamma
+            snr = np.minimum(snr, self.cfg.train.min_snr_gamma)
+        weight = jnp.asarray(snr, jnp.float32)[t]
         loss_diff = jnp.mean(loss * weight)
         loss_f0 = 0.0
         if lf0_pred is not None:

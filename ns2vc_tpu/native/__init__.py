@@ -11,29 +11,56 @@ other and against the checked-in pyworld goldens).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libns2vc_dsp.so")
+_STAMP = _SO + ".stamp"
 _lib = None
 _load_failed = False
+
+# Portable default (-O3, no ISA-specific codegen); opt into native tuning
+# with NS2VC_NATIVE_CFLAGS="-march=native" where the .so never leaves the
+# build host.
+_CFLAGS = os.environ.get("NS2VC_NATIVE_CFLAGS", "-O3").split()
+
+
+def _stamp_value(src: str) -> str:
+    """Cache key: source hash + flags + host arch. A .so from a different
+    machine/arch (or stale flags) never loads — it rebuilds instead."""
+    h = hashlib.sha256()
+    with open(src, "rb") as f:
+        h.update(f.read())
+    h.update(" ".join(_CFLAGS).encode())
+    h.update(platform.machine().encode())
+    return h.hexdigest()
 
 
 def build(force: bool = False) -> str | None:
     """Compile dio.cc -> libns2vc_dsp.so. Returns the path or None."""
     src = os.path.join(_DIR, "dio.cc")
-    if os.path.exists(_SO) and not force \
-            and os.path.getmtime(_SO) >= os.path.getmtime(src):
-        return _SO
+    stamp = _stamp_value(src)
+    if os.path.exists(_SO) and not force:
+        try:
+            with open(_STAMP) as f:
+                if f.read().strip() == stamp:
+                    return _SO
+        except OSError:
+            pass  # no/unreadable stamp -> rebuild
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread", "-o", _SO, src],
+            ["g++", *_CFLAGS, "-shared", "-fPIC", "-std=c++17", "-pthread",
+             "-o", _SO, src],
             check=True, capture_output=True, text=True)
+        with open(_STAMP, "w") as f:
+            f.write(stamp)
         return _SO
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         msg = getattr(e, "stderr", str(e))
         print(f"ns2vc_tpu.native: build failed, using NumPy fallback:\n{msg}")
         return None

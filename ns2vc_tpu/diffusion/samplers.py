@@ -106,9 +106,13 @@ def ddim_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
     return x
 
 
-def _fast_sampler_consts(schedule: NoiseSchedule, steps: int):
-    """Shared time grid + marginals for DPM-Solver++/UniPC (host float64)."""
-    ts = schedule.time_uniform_steps(steps)             # (steps+1,)
+def _fast_sampler_consts(schedule: NoiseSchedule, steps: int,
+                         t_start: float | None = None,
+                         t_end: float | None = None):
+    """Shared time grid + marginals for DPM-Solver++/UniPC (host float64).
+    t_start/t_end override the default [T, 1/N] sampling range — an
+    ascending grid (t_start < t_end) runs the ODE forward (`inverse`)."""
+    ts = schedule.time_uniform_steps(steps, t_start, t_end)  # (steps+1,)
     lam = schedule.marginal_lambda(ts)
     log_alpha = schedule.marginal_log_alpha(ts)
     alpha = np.exp(log_alpha)
@@ -117,21 +121,56 @@ def _fast_sampler_consts(schedule: NoiseSchedule, steps: int):
     return ts, lam, alpha, sigma, t_input
 
 
+def dynamic_thresholding(x0: jnp.ndarray, ratio: float = 0.995,
+                         max_val: float = 1.0) -> jnp.ndarray:
+    """Imagen-style dynamic thresholding of an x0 prediction (reference
+    dpm_solver.py:416-426): clamp each sample to its |x0| `ratio`-quantile
+    (floored at max_val) and rescale into [-1, 1]. Wrap it around an x0_fn
+    via `thresholded_x0_fn` for the dpmsolver++ `correcting_x0_fn="dynamic_
+    thresholding"` option (dpm_solver.py:372-383)."""
+    s = jnp.quantile(jnp.abs(x0).reshape(x0.shape[0], -1).astype(jnp.float32),
+                     ratio, axis=1)
+    s = jnp.maximum(s, max_val).reshape((-1,) + (1,) * (x0.ndim - 1))
+    s = s.astype(x0.dtype)
+    return jnp.clip(x0, -s, s) / s
+
+
+def thresholded_x0_fn(x0_fn: DenoiseFn, ratio: float = 0.995,
+                      max_val: float = 1.0) -> DenoiseFn:
+    """x0_fn -> x0_fn with dynamic thresholding applied to every
+    prediction (the reference threads this through correcting_x0_fn at
+    every model_fn call, dpm_solver.py:433-443)."""
+    def fn(x, t):
+        return dynamic_thresholding(x0_fn(x, t), ratio, max_val)
+    return fn
+
+
+def add_noise(schedule: NoiseSchedule, x: jnp.ndarray, t: float,
+              noise: jnp.ndarray) -> jnp.ndarray:
+    """x_t = alpha_t x + sigma_t noise at continuous time t
+    (reference dpm_solver.py:1012-1030)."""
+    a = float(schedule.marginal_alpha(t))
+    s = float(schedule.marginal_std(t))
+    return a * x + s * noise
+
+
 def dpmpp_2m_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray,
                     schedule: NoiseSchedule, steps: int = 40,
-                    order: int = 2) -> jnp.ndarray:
+                    order: int = 2, t_start: float | None = None,
+                    t_end: float | None = None) -> jnp.ndarray:
     """DPM-Solver++ multistep (orders 1-3), time_uniform, 'dpmsolver'
     variant (reference defaults at model.py:620-653; order-3 math from
     sampler/dpm_solver.py:855-904). steps NFE total.
 
-    Matches the reference driver for steps >= 10 (constant order after the
-    low-order warm-up; reference dpm_solver.py:1196-1200 only lowers the
-    final orders when steps < 10)."""
+    Matches the reference driver at every step count: for steps < 10 the
+    final updates lower their order (reference dpm_solver.py:1196-1200),
+    handled here by an unrolled driver; steps >= 10 run at constant order
+    through one lax.scan after the warm-up. An ascending t range
+    (t_start < t_end) integrates the ODE forward — see `dpm_inverse`."""
     assert order in (1, 2, 3)
-    assert steps >= order + 1
-    if order == 3:
-        assert steps >= 10, "order-3 tail lowering (steps<10) not implemented"
-    _, lam, alpha, sigma, t_in = _fast_sampler_consts(schedule, steps)
+    assert steps >= order
+    _, lam, alpha, sigma, t_in = _fast_sampler_consts(schedule, steps,
+                                                      t_start, t_end)
     h = lam[1:] - lam[:-1]                                # h_i for update i+1
     sig_ratio = sigma[1:] / sigma[:-1]
     phi_1 = np.expm1(-h)
@@ -161,6 +200,25 @@ def dpmpp_2m_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray,
         d2 = (d1_0 - d1_1) / (r0 + r1)
         return (float(sig_ratio[i]) * x - float(aphi1[i]) * m0
                 + float(aphi2[i]) * d1 - float(aphi3[i]) * d2)
+
+    if steps < 10:
+        # unrolled driver with the reference's lower_order_final tail
+        # (dpm_solver.py:1196-1200: step_order = min(order, steps+1-step))
+        x = x_T
+        m0 = eval_m(x, 0)
+        m1 = m2 = m0
+        for step in range(1, steps + 1):
+            i = step - 1
+            k = step if step < order else min(order, steps + 1 - step)
+            if k == 1:
+                x = first_update(x, m0, i)
+            elif k == 2:
+                x = second_update(x, m0, m1, i)
+            else:
+                x = third_update(x, m0, m1, m2, i)
+            if step < steps:
+                m2, m1, m0 = m1, m0, eval_m(x, step)
+        return x
 
     x = x_T
     m0 = eval_m(x, 0)
@@ -400,6 +458,184 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
         if m_t is not None:
             m2, m1, m0 = m1, m0, m_t
     return x
+
+
+def _eval_at(x0_fn: DenoiseFn, schedule: NoiseSchedule, x, t_cont: float):
+    """Model eval at a continuous time (host float) -> discrete label."""
+    label = np.float32(schedule.model_input_time(t_cont))
+    return x0_fn(x, jnp.full((x.shape[0],), label))
+
+
+def _singlestep_update(x0_fn: DenoiseFn, schedule: NoiseSchedule, x,
+                       s: float, t: float, order: int,
+                       r1: float | None, r2: float | None,
+                       solver_type: str = "dpmsolver",
+                       model_s=None, model_s1=None,
+                       return_intermediate: bool = False):
+    """One dpmsolver++ singlestep block from time s to t at the given
+    order (reference dpm_solver.py:547-592 order 1, :594-673 order 2,
+    :675-794 order 3; only the '++' algorithm branch, both 'dpmsolver'
+    and 'taylor' solver types). All schedule scalars fold to host floats."""
+    lam_s, lam_t = (float(schedule.marginal_lambda(u)) for u in (s, t))
+    h = lam_t - lam_s
+    sig_s, sig_t = (float(schedule.marginal_std(u)) for u in (s, t))
+    alpha_t = float(schedule.marginal_alpha(t))
+    phi_1 = float(np.expm1(-h))
+    if model_s is None:
+        model_s = _eval_at(x0_fn, schedule, x, s)
+
+    if order == 1:
+        x_t = (sig_t / sig_s) * x - (alpha_t * phi_1) * model_s
+        return (x_t, {"model_s": model_s}) if return_intermediate else x_t
+
+    # reference defaults: r1=0.5 (order 2, :613), r1=1/3 (order 3, :697)
+    r1 = (0.5 if order == 2 else 1.0 / 3.0) if r1 is None else float(r1)
+    s1 = float(schedule.inverse_lambda(lam_s + r1 * h))
+    sig_s1 = float(schedule.marginal_std(s1))
+    alpha_s1 = float(schedule.marginal_alpha(s1))
+    phi_11 = float(np.expm1(-r1 * h))
+    if model_s1 is None:
+        x_s1 = (sig_s1 / sig_s) * x - (alpha_s1 * phi_11) * model_s
+        model_s1 = _eval_at(x0_fn, schedule, x_s1, s1)
+
+    if order == 2:
+        base = (sig_t / sig_s) * x - (alpha_t * phi_1) * model_s
+        if solver_type == "dpmsolver":
+            x_t = base - (0.5 / r1) * (alpha_t * phi_1) * (model_s1 - model_s)
+        else:  # taylor
+            x_t = base + (1.0 / r1) * (alpha_t * (phi_1 / h + 1.0)) \
+                * (model_s1 - model_s)
+        inter = {"model_s": model_s, "model_s1": model_s1}
+        return (x_t, inter) if return_intermediate else x_t
+
+    assert order == 3
+    r2 = 2.0 / 3.0 if r2 is None else float(r2)
+    s2 = float(schedule.inverse_lambda(lam_s + r2 * h))
+    sig_s2 = float(schedule.marginal_std(s2))
+    alpha_s2 = float(schedule.marginal_alpha(s2))
+    phi_12 = float(np.expm1(-r2 * h))
+    phi_22 = float(np.expm1(-r2 * h) / (r2 * h) + 1.0)
+    phi_2 = phi_1 / h + 1.0
+    phi_3 = phi_2 / h - 0.5
+    x_s2 = ((sig_s2 / sig_s) * x - (alpha_s2 * phi_12) * model_s
+            + (r2 / r1) * (alpha_s2 * phi_22) * (model_s1 - model_s))
+    model_s2 = _eval_at(x0_fn, schedule, x_s2, s2)
+    if solver_type == "dpmsolver":
+        x_t = ((sig_t / sig_s) * x - (alpha_t * phi_1) * model_s
+               + (1.0 / r2) * (alpha_t * phi_2) * (model_s2 - model_s))
+    else:  # taylor
+        d1_0 = (1.0 / r1) * (model_s1 - model_s)
+        d1_1 = (1.0 / r2) * (model_s2 - model_s)
+        d1 = (r2 * d1_0 - r1 * d1_1) / (r2 - r1)
+        d2 = 2.0 * (d1_1 - d1_0) / (r2 - r1)
+        x_t = ((sig_t / sig_s) * x - (alpha_t * phi_1) * model_s
+               + (alpha_t * phi_2) * d1 - (alpha_t * phi_3) * d2)
+    inter = {"model_s": model_s, "model_s1": model_s1}
+    return (x_t, inter) if return_intermediate else x_t
+
+
+def dpmpp_singlestep_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray,
+                            schedule: NoiseSchedule, steps: int = 20,
+                            order: int = 2,
+                            solver_type: str = "dpmsolver",
+                            fixed: bool = False,
+                            t_start: float | None = None,
+                            t_end: float | None = None) -> jnp.ndarray:
+    """Singlestep DPM-Solver++ ("DPM-Solver-fast"): `steps` NFE split into
+    order-k blocks per the reference schedule (dpm_solver.py:482-539),
+    each block one singlestep update with intra-block r1/r2 taken from the
+    time_uniform inner grid (dpm_solver.py:1214-1228). `fixed` selects the
+    'singlestep_fixed' method (steps//order equal blocks)."""
+    assert order in (1, 2, 3)
+    if fixed:
+        k_blocks = steps // order
+        orders = [order] * k_blocks
+        outer = schedule.time_uniform_steps(k_blocks, t_start, t_end)
+    else:
+        # order split (dpm_solver.py:517-535)
+        if order == 3:
+            k_blocks = steps // 3 + 1
+            orders = ([3] * (k_blocks - 2) + [2, 1] if steps % 3 == 0 else
+                      [3] * (k_blocks - 1) + [1] if steps % 3 == 1 else
+                      [3] * (k_blocks - 1) + [2])
+        elif order == 2:
+            orders = [2] * (steps // 2) + ([1] if steps % 2 else [])
+        else:
+            orders = [1] * steps
+        ts = schedule.time_uniform_steps(steps, t_start, t_end)
+        outer = ts[np.cumsum([0] + orders)]
+
+    x = x_T
+    for i, k in enumerate(orders):
+        s, t = float(outer[i]), float(outer[i + 1])
+        inner = np.linspace(s, t, k + 1)
+        lam_in = schedule.marginal_lambda(inner)
+        hh = lam_in[-1] - lam_in[0]
+        r1 = float((lam_in[1] - lam_in[0]) / hh) if k >= 2 else None
+        r2 = float((lam_in[2] - lam_in[0]) / hh) if k >= 3 else None
+        x = _singlestep_update(x0_fn, schedule, x, s, t, k, r1, r2,
+                               solver_type)
+    return x
+
+
+def dpmpp_adaptive_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray,
+                          schedule: NoiseSchedule, order: int = 2,
+                          h_init: float = 0.05, atol: float = 0.0078,
+                          rtol: float = 0.05, theta: float = 0.9,
+                          t_err: float = 1e-5,
+                          solver_type: str = "dpmsolver",
+                          t_start: float | None = None,
+                          t_end: float | None = None) -> jnp.ndarray:
+    """Adaptive-step singlestep DPM-Solver++ (reference
+    dpm_solver.py:956-1010): embedded lower/higher-order pair, step
+    accepted when the scaled error E <= 1, logSNR step h adapted by
+    theta * E^(-1/order). Host-driven control loop (the error test is a
+    scalar decision — the reference is eager here too); the model evals
+    inside reuse whatever jit the caller baked into x0_fn."""
+    assert order in (2, 3)
+    t_0 = 1.0 / schedule.num_timesteps if t_end is None else t_end
+    s = schedule.T if t_start is None else t_start
+    lam_s = float(schedule.marginal_lambda(s))
+    lam_0 = float(schedule.marginal_lambda(t_0))
+    h = h_init
+    x = x_prev = x_T
+    r1, r2 = (0.5, None) if order == 2 else (1.0 / 3.0, 2.0 / 3.0)
+    while abs(s - t_0) > t_err:
+        t = float(schedule.inverse_lambda(lam_s + h))
+        if order == 2:
+            x_lower, inter = _singlestep_update(
+                x0_fn, schedule, x, s, t, 1, None, None, solver_type,
+                return_intermediate=True)
+            x_higher = _singlestep_update(
+                x0_fn, schedule, x, s, t, 2, r1, None, solver_type,
+                model_s=inter["model_s"])
+        else:
+            x_lower, inter = _singlestep_update(
+                x0_fn, schedule, x, s, t, 2, r1, None, solver_type,
+                return_intermediate=True)
+            x_higher = _singlestep_update(
+                x0_fn, schedule, x, s, t, 3, r1, r2, solver_type,
+                model_s=inter["model_s"], model_s1=inter["model_s1"])
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_lower),
+                                                     jnp.abs(x_prev)))
+        err = ((x_higher - x_lower) / delta).reshape(x_T.shape[0], -1)
+        e = float(jnp.max(jnp.sqrt(jnp.mean(err.astype(jnp.float32) ** 2,
+                                            axis=-1))))
+        if e <= 1.0:
+            x, x_prev, s = x_higher, x_lower, t
+            lam_s = float(schedule.marginal_lambda(s))
+        h = min(theta * h * e ** (-1.0 / order), lam_0 - lam_s)
+    return x
+
+
+def dpm_inverse(x0_fn: DenoiseFn, x0: jnp.ndarray, schedule: NoiseSchedule,
+                steps: int = 20, order: int = 2) -> jnp.ndarray:
+    """Encode a sample x_{1/N} -> x_T by running the diffusion ODE forward
+    (reference DPM_Solver.inverse, dpm_solver.py:1032-1045): the multistep
+    solver over the ascending time grid [1/N, T]."""
+    return dpmpp_2m_sample(x0_fn, x0, schedule, steps=steps, order=order,
+                           t_start=1.0 / schedule.num_timesteps,
+                           t_end=schedule.T)
 
 
 def sample(method: str, x0_fn: DenoiseFn, x_T: jnp.ndarray,

@@ -68,6 +68,16 @@ class NoiseSchedule:
         log_sigma = 0.5 * np.log(1.0 - np.exp(2.0 * log_alpha))
         return log_alpha - log_sigma
 
+    def inverse_lambda(self, lamb):
+        """t such that marginal_lambda(t) = lamb
+        (sampler/dpm_solver.py:156-167, discrete branch): alpha^2 =
+        sigmoid(2 lambda), then interpolate t over the log-alpha grid."""
+        lamb = np.asarray(lamb, np.float64)
+        log_alpha = -0.5 * np.logaddexp(0.0, -2.0 * lamb)
+        # log_alpha_array decreases with t; np.interp wants increasing x
+        return np.interp(log_alpha, self.log_alpha_array[::-1],
+                         self.t_array[::-1])
+
     def model_input_time(self, t_continuous):
         """continuous t in [1/N, 1] -> model label in [0, 1000*(N-1)/N]
         (sampler/dpm_solver.py:272-280)."""

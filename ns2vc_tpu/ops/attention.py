@@ -7,9 +7,14 @@ F.multi_head_attention_forward) and the UNet attention processors
 
 At this model's sizes (T <= ~512, heads 8, head_dim 16-64) XLA's fused
 dot-general attention already runs at MXU speed-of-light; a Pallas
-flash-attention kernel (ns2vc_tpu/ops/pallas_attention.py) is selected for
-long-sequence batched inference where the O(T^2) intermediate would spill
-VMEM.
+flash-attention kernel lives in ns2vc_tpu/ops/pallas_attention.py and can
+be swapped in via the `attn_impl` argument where a measured crossover
+justifies it (see that module's benchmark notes).
+
+`init_kv_cache`/`streaming_attention` are the TPU-native equivalent of the
+reference's fairseq incremental_state plumbing (operations.py:432-503):
+a fixed-capacity K/V buffer carried functionally (scan-friendly static
+shapes) instead of a mutable per-module dict.
 """
 
 from __future__ import annotations
@@ -59,12 +64,79 @@ def multihead_attention(
     num_heads: int,
     bias: jnp.ndarray | None = None,
     scale: float | None = None,
+    attn_impl: str = "xla",
 ) -> jnp.ndarray:
     """Projected multi-head attention on (B, T, C) tensors.
 
     bias broadcasts against (B, H, Tq, Tk) — pass (B, 1, 1, Tk) for a key
-    padding bias."""
-    out = scaled_dot_product_attention(
-        split_heads(q, num_heads), split_heads(k, num_heads),
-        split_heads(v, num_heads), bias=bias, scale=scale)
+    padding bias. attn_impl='pallas' dispatches to the flash-attention
+    kernel (long-sequence regime; requires bias=None or key-padding-only
+    bias and TPU)."""
+    qh, kh, vh = (split_heads(x, num_heads) for x in (q, k, v))
+    if attn_impl == "pallas":
+        from ns2vc_tpu.ops.pallas_attention import flash_attention
+
+        key_bias = None
+        if bias is not None:
+            # the kernel takes a per-key bias (B, Tk); accept the
+            # (B, 1, 1, Tk) padding-bias shape used across the models
+            assert bias.ndim == 4 and bias.shape[1] == bias.shape[2] == 1, \
+                "pallas path supports key-padding bias only"
+            key_bias = bias[:, 0, 0, :]
+        assert scale is None, "pallas path uses the default 1/sqrt(d) scale"
+        out = flash_attention(qh, kh, vh, bias=key_bias,
+                              interpret=jax.default_backend() == "cpu")
+    else:
+        out = scaled_dot_product_attention(qh, kh, vh, bias=bias,
+                                           scale=scale)
     return merge_heads(out)
+
+
+# -- incremental KV-cache streaming (reference operations.py:432-503) -----
+
+
+def init_kv_cache(batch: int, num_heads: int, head_dim: int, capacity: int,
+                  dtype=jnp.float32) -> dict:
+    """Fixed-capacity streaming K/V cache. The reference stores prev_key/
+    prev_value/prev_key_padding_mask in a mutable incremental_state dict
+    (operations.py:480-503); here the cache is a pytree carried through
+    scan with static shapes: K/V buffers (B, H, capacity, D) plus a fill
+    index."""
+    shape = (batch, num_heads, capacity, head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype),
+            "idx": jnp.zeros((), jnp.int32)}
+
+
+def streaming_attention(
+    q: jnp.ndarray,
+    k_new: jnp.ndarray | None,
+    v_new: jnp.ndarray | None,
+    cache: dict,
+    num_heads: int,
+    static_kv: bool = False,
+    bias: jnp.ndarray | None = None,
+    scale: float | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """One streaming step: append the new projected K/V chunk (B, S, C)
+    to the cache and attend q (B, Sq, C) over every cached position.
+
+    static_kv=True reproduces the reference's encoder-decoder mode
+    (operations.py:437-440, 484-491): K/V are read from the cache and
+    k_new/v_new are ignored. The caller is responsible for
+    idx + S <= capacity (shapes are static; there is no ring wrap)."""
+    idx = cache["idx"]
+    if static_kv:
+        k_buf, v_buf, new_idx = cache["k"], cache["v"], idx
+    else:
+        kh = split_heads(k_new, num_heads).astype(cache["k"].dtype)
+        vh = split_heads(v_new, num_heads).astype(cache["v"].dtype)
+        k_buf = jax.lax.dynamic_update_slice(cache["k"], kh, (0, 0, idx, 0))
+        v_buf = jax.lax.dynamic_update_slice(cache["v"], vh, (0, 0, idx, 0))
+        new_idx = idx + k_new.shape[1]
+    valid = jnp.arange(k_buf.shape[2]) < new_idx
+    fill_bias = jnp.where(valid, 0.0, -1e4)[None, None, None, :]
+    if bias is not None:
+        fill_bias = fill_bias + bias
+    out = scaled_dot_product_attention(
+        split_heads(q, num_heads), k_buf, v_buf, bias=fill_bias, scale=scale)
+    return merge_heads(out), {"k": k_buf, "v": v_buf, "idx": new_idx}

@@ -10,7 +10,9 @@ import jax.numpy as jnp
 torch = pytest.importorskip("torch")
 
 from ns2vc_tpu.diffusion import (
-    NoiseSchedule, ddim_sample, dpmpp_2m_sample, unipc_sample,
+    NoiseSchedule, add_noise, ddim_sample, dpm_inverse, dpmpp_2m_sample,
+    dpmpp_adaptive_sample, dpmpp_singlestep_sample, dynamic_thresholding,
+    thresholded_x0_fn, unipc_sample,
 )
 from tests.ref_oracle import load_reference_samplers
 
@@ -83,6 +85,142 @@ class TestDPMSolverParity:
             _toy_jax, jnp.asarray(x.numpy()), schedule, steps=steps,
             order=order))
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestDPMSolverExtendedSurface:
+    """The reference DPM_Solver API beyond the NS2VC call sites
+    (dpm_solver.py:337-1245): multistep small-step tail lowering,
+    singlestep(+fixed), taylor solver type, adaptive, inverse,
+    dynamic thresholding, add_noise."""
+
+    @pytest.mark.parametrize("steps,order", [(4, 2), (6, 2), (5, 3), (8, 3)])
+    def test_multistep_small_steps_tail_lowering(self, schedule,
+                                                 ref_samplers, steps, order):
+        """steps < 10 lowers the final update orders
+        (dpm_solver.py:1196-1200)."""
+        dpm, _ = ref_samplers
+        ns, model_fn = _ref_setup(dpm, schedule)
+        solver = dpm.DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++")
+        torch.manual_seed(4)
+        x = torch.randn(2, 4, 24)
+        want = solver.sample(x.clone(), steps=steps, order=order,
+                             skip_type="time_uniform",
+                             method="multistep").numpy()
+        got = np.asarray(dpmpp_2m_sample(
+            _toy_jax, jnp.asarray(x.numpy()), schedule, steps=steps,
+            order=order))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("steps,order,solver_type",
+                             [(10, 1, "dpmsolver"), (10, 2, "dpmsolver"),
+                              (11, 2, "dpmsolver"), (12, 3, "dpmsolver"),
+                              (13, 3, "dpmsolver"), (14, 3, "dpmsolver"),
+                              (10, 2, "taylor"), (12, 3, "taylor")])
+    def test_singlestep(self, schedule, ref_samplers, steps, order,
+                        solver_type):
+        dpm, _ = ref_samplers
+        ns, model_fn = _ref_setup(dpm, schedule)
+        solver = dpm.DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++")
+        torch.manual_seed(5)
+        x = torch.randn(2, 4, 24)
+        want = solver.sample(x.clone(), steps=steps, order=order,
+                             skip_type="time_uniform", method="singlestep",
+                             solver_type=solver_type).numpy()
+        got = np.asarray(dpmpp_singlestep_sample(
+            _toy_jax, jnp.asarray(x.numpy()), schedule, steps=steps,
+            order=order, solver_type=solver_type))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("steps,order", [(10, 2), (12, 3)])
+    def test_singlestep_fixed(self, schedule, ref_samplers, steps, order):
+        dpm, _ = ref_samplers
+        ns, model_fn = _ref_setup(dpm, schedule)
+        solver = dpm.DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++")
+        torch.manual_seed(6)
+        x = torch.randn(2, 4, 24)
+        want = solver.sample(x.clone(), steps=steps, order=order,
+                             skip_type="time_uniform",
+                             method="singlestep_fixed").numpy()
+        got = np.asarray(dpmpp_singlestep_sample(
+            _toy_jax, jnp.asarray(x.numpy()), schedule, steps=steps,
+            order=order, fixed=True))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("order", [2, 3])
+    def test_adaptive(self, schedule, ref_samplers, order):
+        dpm, _ = ref_samplers
+        ns, model_fn = _ref_setup(dpm, schedule)
+        solver = dpm.DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++")
+        torch.manual_seed(7)
+        x = torch.randn(2, 4, 24)
+        want = solver.sample(x.clone(), order=order, method="adaptive",
+                             atol=0.0078, rtol=0.05).numpy()
+        got = np.asarray(dpmpp_adaptive_sample(
+            _toy_jax, jnp.asarray(x.numpy()), schedule, order=order,
+            atol=0.0078, rtol=0.05))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_inverse_round_trip(self, schedule, ref_samplers):
+        """inverse (encode) matches the reference, and decode(encode(x))
+        returns near x for a smooth model."""
+        dpm, _ = ref_samplers
+        ns, model_fn = _ref_setup(dpm, schedule)
+        solver = dpm.DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++")
+        torch.manual_seed(8)
+        x = torch.randn(1, 4, 24) * 0.3
+        want = solver.inverse(x.clone(), steps=20, order=2,
+                              skip_type="time_uniform",
+                              method="multistep").numpy()
+        got = np.asarray(dpm_inverse(_toy_jax, jnp.asarray(x.numpy()),
+                                     schedule, steps=20, order=2))
+        np.testing.assert_allclose(got, want, atol=1e-3)
+        # decode(encode(x)) converges to x as steps grow (true ODE
+        # inversion: error ~ 1/steps on this toy model)
+        errs = []
+        for steps in (50, 200):
+            enc = np.asarray(dpm_inverse(_toy_jax, jnp.asarray(x.numpy()),
+                                         schedule, steps=steps, order=2))
+            back = np.asarray(dpmpp_2m_sample(_toy_jax, jnp.asarray(enc),
+                                              schedule, steps=steps,
+                                              order=2))
+            errs.append(np.abs(back - x.numpy()).max())
+        assert errs[1] < errs[0] / 2 and errs[1] < 0.05, errs
+
+    def test_dynamic_thresholding_matches_reference(self, schedule,
+                                                    ref_samplers):
+        dpm, _ = ref_samplers
+        ns, model_fn = _ref_setup(dpm, schedule)
+        solver = dpm.DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++",
+                                correcting_x0_fn="dynamic_thresholding")
+        torch.manual_seed(9)
+        x0 = torch.randn(3, 4, 24) * 3.0
+        want = solver.dynamic_thresholding_fn(
+            x0.clone(), None).numpy()
+        got = np.asarray(dynamic_thresholding(jnp.asarray(x0.numpy())))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # and the wrapped x0_fn path samples like the reference's
+        # correcting_x0_fn plumbing
+        xT = torch.randn(1, 4, 24) * 2
+        want_s = solver.sample(xT.clone(), steps=10, order=2,
+                               skip_type="time_uniform",
+                               method="multistep").numpy()
+        got_s = np.asarray(dpmpp_2m_sample(
+            thresholded_x0_fn(_toy_jax), jnp.asarray(xT.numpy()),
+            schedule, steps=10, order=2))
+        np.testing.assert_allclose(got_s, want_s, atol=1e-4)
+
+    def test_add_noise(self, schedule, ref_samplers):
+        dpm, _ = ref_samplers
+        ns, model_fn = _ref_setup(dpm, schedule)
+        solver = dpm.DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++")
+        x = torch.randn(2, 4, 24)
+        noise = torch.randn(1, 2, 4, 24)
+        t = 0.37
+        want = solver.add_noise(x.clone(), torch.tensor([t]),
+                                noise=noise).numpy()
+        got = np.asarray(add_noise(schedule, jnp.asarray(x.numpy()), t,
+                                   jnp.asarray(noise.numpy()[0])))
+        np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 class TestUniPCParity:

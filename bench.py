@@ -89,12 +89,17 @@ def main(argv=None):
     from ns2vc_tpu.utils.precision import cast_floating
 
     @jax.jit
-    def synthesize(params, vparams, c, refer, lengths, refer_lengths, noise):
+    def synthesize(params, vparams, c, refer, lengths, refer_lengths, noise,
+                   prev_audio):
         # bf16 activations + params (f32 norm reductions / softmax inside)
         params = cast_floating(params, jnp.bfloat16)
         vparams = cast_floating(vparams, jnp.bfloat16)
         c = c.astype(jnp.bfloat16)
         refer = refer.astype(jnp.bfloat16)
+        b, t = noise.shape[:2]
+        # data dependency on the previous call's output (see measure());
+        # 1e-6-scaled so the workload itself is unchanged
+        noise = noise + 1e-6 * prev_audio[:, :t * 100].reshape(b, t, 100)
         noise = noise.astype(jnp.bfloat16)
         c_mask = sequence_mask(lengths, c.shape[1])
         refer_mask = sequence_mask(refer_lengths, refer.shape[1])
@@ -113,24 +118,36 @@ def main(argv=None):
         return vocos.apply(vparams, mel).astype(jnp.float32)
 
     def measure(b, iters=5):
-        """min wall seconds per synthesize() call at batch b."""
+        """wall seconds per synthesize() call at batch b.
+
+        Each timed call folds the previous call's audio back into its noise
+        input (x1e-6) and the chain ends in a host readback: repeated
+        *identical* dispatches can be deduped by the runtime, and
+        block_until_ready alone has been observed returning before device
+        completion on this backend — a readback is the only trustworthy
+        sync. Reported number = chain wall time / iters."""
         mb = make_batch(b)
         noise = jax.random.normal(rng, (b, T, 100))
-        a = (params, vparams, mb["c"], mb["refer"], mb["lengths"],
-             mb["refer_lengths"], noise)
-        synthesize(*a).block_until_ready()  # warmup / compile
+
+        def call(prev_audio):
+            return synthesize(params, vparams, mb["c"], mb["refer"],
+                              mb["lengths"], mb["refer_lengths"], noise,
+                              prev_audio)
+
+        audio = call(jnp.zeros((b, T * HOP)))  # warmup / compile
+        np.asarray(audio[:1, :1])
         profiling = args_cli.profile_dir is not None
         if profiling:
             jax.profiler.start_trace(os.path.join(args_cli.profile_dir,
                                                   f"b{b}"))
-        best = float("inf")
+        start = time.perf_counter()
         for _ in range(iters):
-            start = time.perf_counter()
-            synthesize(*a).block_until_ready()
-            best = min(best, time.perf_counter() - start)
+            audio = call(audio)
+        np.asarray(audio[:1, :1])
+        elapsed = (time.perf_counter() - start) / iters
         if profiling:
             jax.profiler.stop_trace()
-        return best
+        return elapsed
 
     if args_cli.sweep:
         for b in args_cli.sweep:

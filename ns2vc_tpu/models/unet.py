@@ -181,6 +181,48 @@ class Transformer1D(nn.Module):
         return h + residual
 
 
+class DualTransformer1D(nn.Module):
+    """Two Transformer1D experts mixed at a ratio, each cross-attending to
+    its own slice of the condition tokens (reference
+    unet1d/dual_transformer_1d.py:21-155). No reference config instantiates
+    it (dual_cross_attention is always False); provided for inventory
+    completeness with the same contract: condition token slices of lengths
+    `condition_lengths`, routing via `transformer_index_for_condition`, and
+    out = mix * (T_a(x) - x) + (1 - mix) * (T_b(x) - x) + x."""
+
+    channels: int
+    heads: int
+    cross_attention_dim: int
+    norm_num_groups: int = 8
+    condition_lengths: Tuple[int, int] = (77, 257)
+    transformer_index_for_condition: Tuple[int, int] = (1, 0)
+    mix_ratio: float = 0.5
+
+    def setup(self):
+        self.transformers = [
+            Transformer1D(self.channels, self.heads, self.cross_attention_dim,
+                          self.norm_num_groups, name=f"transformers_{i}")
+            for i in range(2)
+        ]
+
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
+                 context_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # context_bias (B, 1, 1, Tk) is sliced alongside the tokens; the
+        # reference ignores its attention_mask here ("not used yet") — we
+        # honor it, which is strictly more correct for padded prompts.
+        encoded = []
+        start = 0
+        for i in range(2):
+            n = self.condition_lengths[i]
+            cond = context[:, start:start + n]
+            cbias = (None if context_bias is None
+                     else context_bias[..., start:start + n])
+            t = self.transformers[self.transformer_index_for_condition[i]]
+            encoded.append(t(x, cond, cbias) - x)
+            start += n
+        return encoded[0] * self.mix_ratio + encoded[1] * (1 - self.mix_ratio) + x
+
+
 class ResnetBlock1D(nn.Module):
     """GN -> SiLU -> conv(k3) -> FiLM(temb) -> GN -> SiLU -> conv(k3)
     + 1x1 shortcut; 'scale_shift' time conditioning

@@ -33,15 +33,24 @@ def scaled_dot_product_attention(
     """q (..., H, Tq, D), k/v (..., H, Tk, D) -> (..., H, Tq, D).
 
     Softmax is computed in float32 regardless of input dtype (bf16-safe),
-    matching torch SDPA numerics closely."""
+    matching torch SDPA numerics closely. The materialized probs tensor is
+    the input dtype: without the optimization_barrier XLA folds the
+    f32->bf16 convert into the PV matmul's fusion and materializes
+    f32[B, H, Tq, Tk] — profiled on v5e, that tensor is what falls out of
+    VMEM first as batch grows (B=24 x 8 x 400^2 x f32 = 118 MB spills to
+    HBM and attention time jumps superlinearly, the bench's batch-scaling
+    cliff). Forcing a bf16 boundary halves it. torch SDPA's flash/
+    mem-efficient bf16 paths likewise keep f32 statistics but bf16 probs."""
     d = q.shape[-1]
     scale = scale if scale is not None else d ** -0.5
     logits = jnp.einsum("...qd,...kd->...qk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
-    weights = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("...qk,...kd->...qd", weights.astype(v.dtype), v,
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    if v.dtype != jnp.float32:
+        weights = jax.lax.optimization_barrier(weights)
+    return jnp.einsum("...qk,...kd->...qd", weights, v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
@@ -57,6 +66,18 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
+# measured XLA->Pallas crossover on v5e (scripts/bench_attention.py):
+# XLA's materialized-logits attention is HBM-bound past ~2k keys and OOMs
+# outright at 8k (B=8, H=8: the f32 logits alone exceed HBM); the flash
+# kernel is ~1.8x faster at 4k and the only feasible impl from 8k up.
+FLASH_MIN_KEYS = 2048
+
+
+def _key_padding_bias(bias: jnp.ndarray | None) -> bool:
+    return bias is None or (bias.ndim == 4
+                            and bias.shape[1] == bias.shape[2] == 1)
+
+
 def multihead_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -64,14 +85,19 @@ def multihead_attention(
     num_heads: int,
     bias: jnp.ndarray | None = None,
     scale: float | None = None,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """Projected multi-head attention on (B, T, C) tensors.
 
     bias broadcasts against (B, H, Tq, Tk) — pass (B, 1, 1, Tk) for a key
-    padding bias. attn_impl='pallas' dispatches to the flash-attention
-    kernel (long-sequence regime; requires bias=None or key-padding-only
-    bias and TPU)."""
+    padding bias. attn_impl: 'xla' (fused dot-general), 'pallas' (flash
+    kernel; requires bias=None or key-padding-only bias), or 'auto'
+    (default) which picks 'pallas' on TPU past FLASH_MIN_KEYS keys — at
+    this model's T<=512 shapes it always resolves to 'xla'."""
+    if attn_impl == "auto":
+        on_tpu = jax.default_backend() != "cpu"
+        attn_impl = ("pallas" if on_tpu and k.shape[1] >= FLASH_MIN_KEYS
+                     and _key_padding_bias(bias) else "xla")
     qh, kh, vh = (split_heads(x, num_heads) for x in (q, k, v))
     if attn_impl == "pallas":
         from ns2vc_tpu.ops.pallas_attention import flash_attention
@@ -80,11 +106,10 @@ def multihead_attention(
         if bias is not None:
             # the kernel takes a per-key bias (B, Tk); accept the
             # (B, 1, 1, Tk) padding-bias shape used across the models
-            assert bias.ndim == 4 and bias.shape[1] == bias.shape[2] == 1, \
+            assert _key_padding_bias(bias), \
                 "pallas path supports key-padding bias only"
             key_bias = bias[:, 0, 0, :]
-        assert scale is None, "pallas path uses the default 1/sqrt(d) scale"
-        out = flash_attention(qh, kh, vh, bias=key_bias,
+        out = flash_attention(qh, kh, vh, bias=key_bias, scale=scale,
                               interpret=jax.default_backend() == "cpu")
     else:
         out = scaled_dot_product_attention(qh, kh, vh, bias=bias,

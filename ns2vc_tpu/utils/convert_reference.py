@@ -210,6 +210,16 @@ def transformer_1d(sd, p):
     }
 
 
+def dual_transformer_1d(sd, p):
+    """reference unet1d/dual_transformer_1d.py:21-155 (two Transformer2DModel
+    children under .transformers.{0,1})."""
+    pre = f"{p}.transformers" if p else "transformers"
+    return {
+        "transformers_0": transformer_1d(sd, f"{pre}.0"),
+        "transformers_1": transformer_1d(sd, f"{pre}.1"),
+    }
+
+
 def resnet_block(sd, p):
     """reference unet1d/resnet.py:461-640 (scale_shift)."""
     out = {

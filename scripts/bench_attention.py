@@ -13,8 +13,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
 
 import jax
@@ -27,15 +29,22 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
+import numpy as np
+
+
+def timeit(fn, q, k, v, iters=10):
+    """ms per call: time a chain of `iters` data-dependent calls (each
+    output feeds the next query) ending in a host readback, divide by
+    iters. Chaining defeats identical-dispatch dedup, and the readback is
+    the only sync this backend honors — block_until_ready returns early
+    here, timing ~0.02 ms regardless of FLOPs."""
+    q = fn(q, k, v)
+    np.asarray(q[0, 0, 0, :1])  # warmup/compile + sync
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+        q = fn(q, k, v)
+    np.asarray(q[0, 0, 0, :1])
+    return (time.perf_counter() - t0) * 1e3 / iters
 
 
 def main():
@@ -45,6 +54,9 @@ def main():
     p.add_argument("--head_dim", type=int, default=32)
     p.add_argument("--lens", type=int, nargs="+",
                    default=[512, 2048, 8192, 16384])
+    p.add_argument("--block_q", type=int, default=128)
+    p.add_argument("--block_k", type=int, default=128)
+    p.add_argument("--skip_xla", action="store_true")
     args = p.parse_args()
 
     from ns2vc_tpu.ops.attention import scaled_dot_product_attention
@@ -60,14 +72,17 @@ def main():
             v = jax.random.normal(jax.random.fold_in(rng, 2), shape, dtype)
 
             xla_fn = jax.jit(scaled_dot_product_attention)
+            ms_xla = None
+            if not args.skip_xla:
+                try:
+                    ms_xla = timeit(xla_fn, q, k, v)
+                except Exception as e:  # OOM at very long T
+                    print(f"T={t} {dtype.__name__} xla failed: {e}")
             try:
-                ms_xla = timeit(xla_fn, q, k, v)
-            except Exception as e:  # OOM at very long T
-                ms_xla = None
-                print(f"T={t} {dtype.__name__} xla failed: {e}")
-            try:
-                ms_pl = timeit(lambda a, b, c: flash_attention(a, b, c),
-                               q, k, v)
+                ms_pl = timeit(
+                    lambda a, b, c: flash_attention(
+                        a, b, c, block_q=args.block_q, block_k=args.block_k),
+                    q, k, v)
             except Exception as e:
                 ms_pl = None
                 print(f"T={t} {dtype.__name__} pallas failed: {e}")

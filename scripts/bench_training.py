@@ -1,0 +1,145 @@
+"""End-to-end training throughput at the reference production config.
+
+Measures what the reference's `accelerate launch train.py` does per unit
+time (reference model.py:748-946): full NaturalSpeech2 (101M params),
+batch 32 x 272 frames, bf16 + remat, process-pool input pipeline with
+double-buffered device prefetch.
+
+Reports two rates:
+- device_steps_per_sec: stepping one pre-staged batch (pure device rate)
+- e2e_steps_per_sec:    Trainer.train() including host loading, collate,
+  and H2D transfer through the axon tunnel
+
+Run on the TPU chip:  python scripts/bench_training.py [--steps 60]
+A synthetic preprocessed dataset (reference preprocess.py layout) is
+generated under --data_dir; shapes/statistics mirror real features.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+
+import numpy as np
+
+
+def synth_dataset(root: str, n: int = 64, seed: int = 0,
+                  sr: int = 24000, hop: int = 256) -> str:
+    """Write n synthetic utterances in the preprocessor's on-disk layout
+    (reference preprocess.py:32-60): <u>.wav + .wav.soft.npy + .wav.f0.npy
+    + .spec.npy, 430-700 mel frames each."""
+    from ns2vc_tpu.utils.wavio import write_wav
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    for i in range(n):
+        d = os.path.join(root, str(i))
+        os.makedirs(d, exist_ok=True)
+        frames = int(rng.integers(430, 700))
+        wav = (rng.standard_normal(frames * hop) * 0.1).astype(np.float32)
+        spec = rng.standard_normal((100, frames)).astype(np.float32)
+        f0 = np.abs(rng.standard_normal(frames)).astype(np.float64) * 200
+        f0[rng.random(frames) < 0.3] = 0.0  # unvoiced gaps
+        soft = rng.standard_normal(
+            (256, max(frames * 256 // 480, 10))).astype(np.float32)
+        base = os.path.join(d, f"{i}.wav")
+        write_wav(base, wav, sr)
+        np.save(base + ".soft.npy", soft)
+        np.save(base + ".f0.npy", f0)
+        np.save(os.path.join(d, f"{i}.spec.npy"), spec)
+    return root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--data_dir", type=str, default="/tmp/ns2vc_bench_data")
+    ap.add_argument("--num_workers", type=int, default=8)
+    ap.add_argument("--device_only", action="store_true")
+    ap.add_argument("--skip_device", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("NS2VC_CACHE", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import dataclasses
+
+    from ns2vc_tpu.config import Config
+    from ns2vc_tpu.train.trainer import Trainer
+
+    if not os.path.exists(os.path.join(args.data_dir, "0")):
+        synth_dataset(args.data_dir)
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, training_files=args.data_dir,
+                                 val_files=args.data_dir),
+        train=dataclasses.replace(
+            cfg.train, num_workers=args.num_workers,
+            log_every=1_000_000, save_and_sample_every=1_000_000_000),
+    )
+    t0 = time.time()
+    trainer = Trainer(cfg, logs_folder="/tmp/ns2vc_bench_logs")
+    print(f"init+compile(init): {time.time()-t0:.1f}s", flush=True)
+
+    result = {}
+
+    if not args.skip_device:
+        # pure device rate: one staged batch, chained steps, readback sync
+        from ns2vc_tpu.parallel.mesh import shard_batch
+
+        batch = next(iter(trainer.dl))
+        batch = {k: v for k, v in batch.items()
+                 if k not in {"wav", "f0", "uv"}}
+        import ml_dtypes
+
+        batch = {k: (v.astype(ml_dtypes.bfloat16)
+                     if v.dtype == np.float32 else v)
+                 for k, v in batch.items()}
+        with trainer.mesh:
+            dev = shard_batch(batch, trainer.mesh)
+            t0 = time.time()
+            state, m = trainer._step_fn(trainer.state, dev, trainer.rng)
+            float(m["loss"])
+            print(f"compile(step): {time.time()-t0:.1f}s", flush=True)
+            n = max(args.steps // 2, 10)
+            t0 = time.time()
+            for _ in range(n):
+                state, m = trainer._step_fn(state, dev, trainer.rng)
+            float(m["loss"])  # readback = the only trustworthy sync here
+            dt = (time.time() - t0) / n
+        result["device_steps_per_sec"] = round(1.0 / dt, 2)
+        result["device_ms_per_step"] = round(dt * 1e3, 1)
+        trainer.state = state
+        if args.device_only:
+            print(json.dumps(result))
+            return
+
+    # end-to-end: Trainer.train() for warmup+steps, timed via wall clock
+    start_step = trainer.step
+    trainer.train(num_steps=start_step + args.warmup)
+    t0 = time.time()
+    trainer.train(num_steps=start_step + args.warmup + args.steps)
+    dt = (time.time() - t0) / args.steps
+    result["e2e_steps_per_sec"] = round(1.0 / dt, 2)
+    result["e2e_ms_per_step"] = round(dt * 1e3, 1)
+    bs = cfg.train.train_batch_size
+    result["e2e_utts_per_sec"] = round(bs / dt, 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -133,3 +133,39 @@ class TestUNetTraining:
         a = plain.apply(params, sample, jnp.array([5]), ehs)
         b = remat.apply(params, sample, jnp.array([5]), ehs)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestDualTransformer:
+    def test_matches_reference(self, reference_dir):
+        import sys
+        if str(reference_dir) not in sys.path:
+            sys.path.insert(0, str(reference_dir))
+        from unet1d.dual_transformer_1d import DualTransformer2DModel
+
+        from ns2vc_tpu.models.unet import DualTransformer1D
+
+        ch, heads, head_dim, cross = 16, 4, 4, 20
+        lens = (6, 10)
+        torch.manual_seed(3)
+        ref = DualTransformer2DModel(
+            num_attention_heads=heads, attention_head_dim=head_dim,
+            in_channels=ch, norm_num_groups=8,
+            cross_attention_dim=cross).eval()
+        ref.condition_lengths = list(lens)
+
+        mine = DualTransformer1D(ch, heads, cross, norm_num_groups=8,
+                                 condition_lengths=lens)
+        params = {"params": cvt.dual_transformer_1d(
+            {k: v for k, v in ref.state_dict().items()}, "")}
+
+        b, t = 2, 12
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((b, t, ch)).astype(np.float32)
+        ctx = rng.standard_normal((b, sum(lens), cross)).astype(np.float32)
+
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x.transpose(0, 2, 1)),
+                       torch.from_numpy(ctx), return_dict=False)[0]
+        got = mine.apply(params, jnp.asarray(x), jnp.asarray(ctx))
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy().transpose(0, 2, 1), atol=2e-5)

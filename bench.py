@@ -136,6 +136,12 @@ def main(argv=None):
 
         audio = call(jnp.zeros((b, T * HOP)))  # warmup / compile
         np.asarray(audio[:1, :1])
+        # one full untimed chained round: the first distinct-args
+        # executions after compile run ~25x slower through this runtime
+        # (measured 2.8 s/call settling to 106 ms/call on round 2)
+        for _ in range(iters):
+            audio = call(audio)
+        np.asarray(audio[:1, :1])
         profiling = args_cli.profile_dir is not None
         if profiling:
             jax.profiler.start_trace(os.path.join(args_cli.profile_dir,

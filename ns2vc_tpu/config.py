@@ -49,6 +49,7 @@ class TrainConfig:
     # pads per-batch to max+1, dataset.py:148-153)
     max_content_frames: int = 272         # >= ceil(400*2/3)+1, divisible by 8
     max_refer_frames: int = 272           # >= ceil(400*2/3)+1, divisible by 8
+    prefetch_depth: int = 3               # in-flight H2D batch transfers
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,24 +33,25 @@ def scaled_dot_product_attention(
     """q (..., H, Tq, D), k/v (..., H, Tk, D) -> (..., H, Tq, D).
 
     Softmax is computed in float32 regardless of input dtype (bf16-safe),
-    matching torch SDPA numerics closely. The materialized probs tensor is
-    the input dtype: without the optimization_barrier XLA folds the
-    f32->bf16 convert into the PV matmul's fusion and materializes
-    f32[B, H, Tq, Tk] — profiled on v5e, that tensor is what falls out of
-    VMEM first as batch grows (B=24 x 8 x 400^2 x f32 = 118 MB spills to
-    HBM and attention time jumps superlinearly, the bench's batch-scaling
-    cliff). Forcing a bf16 boundary halves it. torch SDPA's flash/
-    mem-efficient bf16 paths likewise keep f32 statistics but bf16 probs."""
+    matching torch SDPA numerics closely.
+
+    Capacity note (v5e, profile-verified): XLA materializes the f32 probs
+    fusion output in VMEM (S(1)) while it fits — at this model's shapes
+    that holds through B=16 (16x8x400^2 xf32 = 82 MB) and spills to HBM at
+    B=24 (118 MB), which is the bench's batch-scaling cliff. Forcing a
+    bf16 probs boundary via optimization_barrier was tried and measured
+    WORSE (barrier results live in default memory space, so XLA
+    double-materializes f32-in-VMEM + bf16-in-HBM: b16 attention
+    175 -> 219 ms/call). B=16 per chip is the roofline-sane operating
+    point; shard batch over the mesh to scale further."""
     d = q.shape[-1]
     scale = scale if scale is not None else d ** -0.5
     logits = jnp.einsum("...qd,...kd->...qk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    if v.dtype != jnp.float32:
-        weights = jax.lax.optimization_barrier(weights)
-    return jnp.einsum("...qk,...kd->...qd", weights, v,
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("...qk,...kd->...qd", weights.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 

@@ -386,12 +386,17 @@ class Trainer:
                          for k, v in batch.items()}
             return shard_batch(batch, self.mesh)
 
-        def prefetched():
-            dev = to_device(next(self.dl))
+        def prefetched(depth: int = t.prefetch_depth):
+            # depth in-flight H2D transfers: through a high-latency
+            # transport (the axon tunnel here, DCN-attached hosts in
+            # general) two buffers are not enough to hide transfer time
+            # behind a ~100 ms step
+            from collections import deque
+
+            buf = deque(to_device(next(self.dl)) for _ in range(depth))
             while True:
-                nxt = to_device(next(self.dl))  # async H2D
-                yield dev
-                dev = nxt
+                buf.append(to_device(next(self.dl)))  # async H2D
+                yield buf.popleft()
 
         device_batches = prefetched()
 

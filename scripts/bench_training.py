@@ -64,6 +64,11 @@ def main():
     ap.add_argument("--num_workers", type=int, default=8)
     ap.add_argument("--device_only", action="store_true")
     ap.add_argument("--skip_device", action="store_true")
+    ap.add_argument("--loader_only", action="store_true",
+                    help="measure host batch-loading throughput only")
+    ap.add_argument("--e2e_diag", action="store_true",
+                    help="per-phase timing: load | H2D | step+sync")
+    ap.add_argument("--log_every", type=int, default=1_000_000)
     args = ap.parse_args()
 
     import jax
@@ -89,8 +94,29 @@ def main():
                                  val_files=args.data_dir),
         train=dataclasses.replace(
             cfg.train, num_workers=args.num_workers,
-            log_every=1_000_000, save_and_sample_every=1_000_000_000),
+            log_every=args.log_every, save_and_sample_every=1_000_000_000),
     )
+
+    if args.loader_only:
+        from ns2vc_tpu.data.dataset import (
+            FixedShapeCollator, VCDataset, data_loader,
+        )
+
+        ds = VCDataset(args.data_dir, cfg, seed=0)
+        dl = data_loader(ds, FixedShapeCollator(cfg),
+                         cfg.train.train_batch_size, seed=0,
+                         num_workers=args.num_workers)
+        for _ in range(5):
+            next(dl)  # warm the worker pool
+        n = 30
+        t0 = time.time()
+        for _ in range(n):
+            next(dl)
+        dt = (time.time() - t0) / n
+        print(json.dumps({"loader_batches_per_sec": round(1 / dt, 2),
+                          "loader_ms_per_batch": round(dt * 1e3, 1)}))
+        return
+
     t0 = time.time()
     trainer = Trainer(cfg, logs_folder="/tmp/ns2vc_bench_logs")
     print(f"init+compile(init): {time.time()-t0:.1f}s", flush=True)
@@ -128,7 +154,39 @@ def main():
             print(json.dumps(result))
             return
 
-    # end-to-end: Trainer.train() for warmup+steps, timed via wall clock
+    if args.e2e_diag:
+        # phase-by-phase: host load | H2D | step+sync
+        from ns2vc_tpu.parallel.mesh import shard_batch
+        import ml_dtypes
+
+        def to_dev(b):
+            b = {k: v for k, v in b.items() if k not in {"wav", "f0", "uv"}}
+            b = {k: (v.astype(ml_dtypes.bfloat16)
+                     if v.dtype == np.float32 else v) for k, v in b.items()}
+            return shard_batch(b, trainer.mesh)
+
+        state = trainer.state
+        with trainer.mesh:
+            for i in range(12):
+                t0 = time.perf_counter()
+                hb = next(trainer.dl)
+                t1 = time.perf_counter()
+                dev = to_dev(hb)
+                jax.block_until_ready(dev)
+                t2 = time.perf_counter()
+                state, m = trainer._step_fn(state, dev, trainer.rng)
+                float(m["loss"])
+                t3 = time.perf_counter()
+                print(f"step {i}: load {1e3*(t1-t0):6.0f} ms | h2d "
+                      f"{1e3*(t2-t1):6.0f} ms | step+sync "
+                      f"{1e3*(t3-t2):6.0f} ms", flush=True)
+        return
+
+    # end-to-end: Trainer.train() for warmup+steps, timed via wall clock.
+    # Checkpointing is disabled for the timed window (train() saves once
+    # at completion — a full params+opt_state host readback that would
+    # otherwise be billed to the steps).
+    trainer.save = lambda *a, **k: None
     start_step = trainer.step
     trainer.train(num_steps=start_step + args.warmup)
     t0 = time.time()

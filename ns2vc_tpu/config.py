@@ -50,6 +50,9 @@ class TrainConfig:
     max_content_frames: int = 272         # >= ceil(400*2/3)+1, divisible by 8
     max_refer_frames: int = 272           # >= ceil(400*2/3)+1, divisible by 8
     prefetch_depth: int = 3               # in-flight H2D batch transfers
+    pack_h2d: bool = True                 # one uint8 H2D transfer per batch
+                                          # (unpacked in-jit); wins on
+                                          # high-latency hosts, free on DMA
 
 
 @dataclasses.dataclass(frozen=True)

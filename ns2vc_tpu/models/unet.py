@@ -91,12 +91,23 @@ class Attention(nn.Module):
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
                  bias: Optional[jnp.ndarray] = None,
                  kv: Optional[tuple] = None) -> jnp.ndarray:
-        q = self.to_q(x)
-        if kv is None:
-            context = x if context is None else context
-            k, v = self.compute_kv(context)
+        if kv is None and context is None and not self.is_initializing():
+            # self-attention: one fused (C, 3*inner) matmul instead of
+            # three — one read of x from HBM, one MXU dispatch. The param
+            # tree keeps the reference's to_q/to_k/to_v layout (converter
+            # and checkpoints unchanged); the concat of the kernels is
+            # step-invariant and hoisted by XLA.
+            w = jnp.concatenate(
+                [self.to_q.variables["params"]["kernel"],
+                 self.to_k.variables["params"]["kernel"],
+                 self.to_v.variables["params"]["kernel"]], axis=1)
+            q, k, v = jnp.split(x @ w.astype(x.dtype), 3, axis=-1)
         else:
-            k, v = kv
+            q = self.to_q(x)
+            if kv is None:
+                k, v = self.compute_kv(x if context is None else context)
+            else:
+                k, v = kv
         out = multihead_attention(q, k, v, self.heads, bias=bias,
                                   scale=self.dim_head ** -0.5)
         return self.to_out_0(out)

@@ -42,6 +42,57 @@ def shard_batch(batch: dict, mesh: Mesh, data_axis: str = "data") -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+# -- packed host-to-device batch transfer -----------------------------------
+#
+# One device_put of a single (B, total_bytes) uint8 buffer instead of one
+# RPC per batch field: per-transfer latency dominates on high-latency
+# hosts (this dev environment's tunnel measures ~230 ms for ~8 MB split
+# across 6 arrays). Sharding over the data axis is preserved because
+# packing is per-example (axis 0 stays B). The unpack runs inside the
+# jitted train step (bitcast + reshape — free layout ops).
+
+
+def make_batch_packer(batch: dict):
+    """Returns (pack(host_batch) -> (B, N) uint8 array, spec) where spec
+    is a tuple of (key, dtype_str, trailing_shape, offset, nbytes) rows
+    describing the packed layout of one example."""
+    spec = []
+    offset = 0
+    for key in sorted(batch):
+        x = batch[key]
+        nbytes = int(np.prod(x.shape[1:], dtype=np.int64)) * x.dtype.itemsize
+        spec.append((key, str(x.dtype), tuple(x.shape[1:]), offset, nbytes))
+        offset += nbytes
+
+    total = offset
+
+    def pack(host_batch: dict) -> np.ndarray:
+        b = next(iter(host_batch.values())).shape[0]
+        out = np.empty((b, total), np.uint8)
+        for key, _, _, off, nbytes in spec:
+            x = np.ascontiguousarray(host_batch[key])
+            out[:, off:off + nbytes] = x.reshape(b, -1).view(np.uint8)
+        return out
+
+    return pack, tuple(spec)
+
+
+def unpack_batch(packed, spec) -> dict:
+    """In-jit inverse of make_batch_packer's pack: (B, N) uint8 -> dict."""
+    import jax.numpy as jnp
+
+    b = packed.shape[0]
+    out = {}
+    for key, dtype_str, shape, off, nbytes in spec:
+        dtype = jnp.dtype(dtype_str)
+        raw = jax.lax.slice_in_dim(packed, off, off + nbytes, axis=1)
+        w = dtype.itemsize
+        vals = jax.lax.bitcast_convert_type(
+            raw.reshape(b, nbytes // w, w), dtype)
+        out[key] = vals.reshape((b,) + shape)
+    return out
+
+
 # parameter tensor-sharding heuristic: column-parallel on any kernel whose
 # output-features axis is wide and divisible by the model axis size.
 _MIN_SHARD_FEATURES = 256

@@ -32,7 +32,8 @@ from ns2vc_tpu.data.dataset import (
 )
 from ns2vc_tpu.models.diffusion import NaturalSpeech2, generate_mel
 from ns2vc_tpu.parallel.mesh import (
-    batch_sharding, make_mesh, param_shardings, shard_batch,
+    batch_sharding, make_batch_packer, make_mesh, param_shardings,
+    shard_batch, unpack_batch,
 )
 
 
@@ -191,11 +192,26 @@ class Trainer:
             self.state = jax.jit(init_fn, out_shardings=shardings)(init_rng)
             from ns2vc_tpu.utils.precision import resolve_dtype
 
+            inner_step = make_train_step(
+                self.model, self.optimizer, self.accum,
+                compute_dtype=resolve_dtype(t.compute_dtype),
+                ema_decay=t.ema_decay if t.use_ema else 0.0,
+                ema_every=t.ema_update_every)
+            if t.pack_h2d:
+                # the step consumes one (B, N) uint8 buffer and unpacks
+                # in-program — a single H2D transfer per batch (see
+                # parallel/mesh.py)
+                proto = self._host_transform(
+                    {k: np.asarray(v) for k, v in sample_batch.items()})
+                self._pack, spec = make_batch_packer(proto)
+
+                def step(state, packed, rng):
+                    return inner_step(state, unpack_batch(packed, spec), rng)
+            else:
+                self._pack = None
+                step = inner_step
             self._step_fn = jax.jit(
-                make_train_step(self.model, self.optimizer, self.accum,
-                                compute_dtype=resolve_dtype(t.compute_dtype),
-                                ema_decay=t.ema_decay if t.use_ema else 0.0,
-                                ema_every=t.ema_update_every),
+                step,
                 in_shardings=(shardings, batch_sharding(self.mesh), None),
                 out_shardings=(shardings, None),
                 donate_argnums=(0,))
@@ -224,6 +240,24 @@ class Trainer:
                     print(f"warning: git hash changed ({old[:8]} -> {h[:8]})")
             with open(path, "w") as f:
                 f.write(h)
+
+    def _host_transform(self, batch: dict) -> dict:
+        """Host-side batch prep shared by the packed-layout proto and the
+        train loop: drop fields the step never reads ("wav" is
+        logging-only — over half the H2D bytes at batch 32; f0/uv matter
+        only when the F0 predictor is on) and pre-cast floats to the
+        compute dtype (halves transfer bytes; the step casts anyway)."""
+        drop = {"wav"}
+        if not self.cfg.f0_predictor.enabled:
+            drop |= {"f0", "uv"}
+        batch = {k: v for k, v in batch.items() if k not in drop}
+        if self.cfg.train.compute_dtype == "bfloat16":
+            import ml_dtypes
+
+            batch = {k: (v.astype(ml_dtypes.bfloat16)
+                         if v.dtype == np.float32 else v)
+                     for k, v in batch.items()}
+        return batch
 
     def _dummy_batch(self) -> dict:
         t = self.cfg.train
@@ -362,28 +396,14 @@ class Trainer:
         data_rng, eval_rng = jax.random.split(self.rng)
         profile_window = profile_window_from_env()
 
-        # double-buffered device prefetch: the transfer of batch N+1
-        # overlaps step N's execution (H2D through this environment's
-        # tunnel otherwise dominates — measured ~0.5 s/step at batch 32).
-        # Floats are cast to the compute dtype on the host first, halving
-        # transfer bytes (the train step casts to bf16 anyway).
-        compute_dtype = t.compute_dtype
-
-        # fields the train step never reads are not transferred: "wav" is
-        # logging-only (27 MB/step at batch 32 — over half the H2D bytes),
-        # f0/uv matter only when the F0 predictor is enabled
-        drop = {"wav"}
-        if not self.cfg.f0_predictor.enabled:
-            drop |= {"f0", "uv"}
-
+        # multi-buffered device prefetch: transfers of upcoming batches
+        # overlap step execution (H2D otherwise dominates on high-latency
+        # hosts). With pack_h2d the whole batch ships as one uint8 buffer.
         def to_device(batch):
-            batch = {k: v for k, v in batch.items() if k not in drop}
-            if compute_dtype == "bfloat16":
-                import ml_dtypes
-
-                batch = {k: (v.astype(ml_dtypes.bfloat16)
-                             if v.dtype == np.float32 else v)
-                         for k, v in batch.items()}
+            batch = self._host_transform(batch)
+            if self._pack is not None:
+                return jax.device_put(self._pack(batch),
+                                      batch_sharding(self.mesh))
             return shard_batch(batch, self.mesh)
 
         def prefetched(depth: int = t.prefetch_depth):

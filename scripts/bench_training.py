@@ -123,20 +123,22 @@ def main():
 
     result = {}
 
+    def to_dev(b):
+        from ns2vc_tpu.parallel.mesh import batch_sharding, shard_batch
+
+        b = trainer._host_transform(b)
+        if trainer._pack is not None:
+            import jax as _jax
+
+            return _jax.device_put(trainer._pack(b),
+                                   batch_sharding(trainer.mesh))
+        return shard_batch(b, trainer.mesh)
+
     if not args.skip_device:
         # pure device rate: one staged batch, chained steps, readback sync
-        from ns2vc_tpu.parallel.mesh import shard_batch
-
         batch = next(iter(trainer.dl))
-        batch = {k: v for k, v in batch.items()
-                 if k not in {"wav", "f0", "uv"}}
-        import ml_dtypes
-
-        batch = {k: (v.astype(ml_dtypes.bfloat16)
-                     if v.dtype == np.float32 else v)
-                 for k, v in batch.items()}
         with trainer.mesh:
-            dev = shard_batch(batch, trainer.mesh)
+            dev = to_dev(batch)
             t0 = time.time()
             state, m = trainer._step_fn(trainer.state, dev, trainer.rng)
             float(m["loss"])
@@ -156,15 +158,6 @@ def main():
 
     if args.e2e_diag:
         # phase-by-phase: host load | H2D | step+sync
-        from ns2vc_tpu.parallel.mesh import shard_batch
-        import ml_dtypes
-
-        def to_dev(b):
-            b = {k: v for k, v in b.items() if k not in {"wav", "f0", "uv"}}
-            b = {k: (v.astype(ml_dtypes.bfloat16)
-                     if v.dtype == np.float32 else v) for k, v in b.items()}
-            return shard_batch(b, trainer.mesh)
-
         state = trainer.state
         with trainer.mesh:
             for i in range(12):

@@ -132,7 +132,10 @@ class TestUNetTraining:
         params = plain.init(rng, sample, jnp.array([5]), ehs)
         a = plain.apply(params, sample, jnp.array([5]), ehs)
         b = remat.apply(params, sample, jnp.array([5]), ehs)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # atol 5e-6: remat and plain legally fuse the (fused-QKV) matmuls
+        # differently; f32 drift at the 1e-6 level is reassociation, not
+        # a remat bug
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
 
 
 class TestDualTransformer:

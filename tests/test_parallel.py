@@ -127,3 +127,43 @@ class TestTensorParallelEquivalence:
                                        err_msg=ks)
             checked += 1
         assert checked > 100  # the full model, not a toy subset
+
+
+class TestBatchPacking:
+    def test_pack_unpack_roundtrip(self):
+        """pack -> device -> in-jit unpack is bit-exact for every dtype
+        the collator produces (bf16/f32 features, int32 lengths)."""
+        import ml_dtypes
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "c": rng.standard_normal((4, 16, 256)).astype(np.float32)
+                    .astype(ml_dtypes.bfloat16),
+            "refer": rng.standard_normal((4, 8, 100)).astype(np.float32),
+            "lengths": rng.integers(1, 16, (4,)).astype(np.int32),
+        }
+        from ns2vc_tpu.parallel.mesh import make_batch_packer, unpack_batch
+
+        pack, spec = make_batch_packer(batch)
+        packed = pack(batch)
+        assert packed.dtype == np.uint8 and packed.shape[0] == 4
+
+        out = jax.jit(lambda p: unpack_batch(p, spec))(packed)
+        for k, v in batch.items():
+            got = np.asarray(out[k])
+            assert got.dtype == v.dtype, k
+            np.testing.assert_array_equal(
+                got.view(np.uint8), np.asarray(v).view(np.uint8), err_msg=k)
+
+    def test_packed_sharding_preserved(self):
+        """The packed buffer shards over the data axis like the dict did."""
+        from ns2vc_tpu.parallel.mesh import (
+            batch_sharding, make_batch_packer, make_mesh,
+        )
+
+        mesh = make_mesh(1)
+        batch = {"c": np.zeros((8, 4, 4), np.float32)}
+        pack, _ = make_batch_packer(batch)
+        arr = jax.device_put(pack(batch), batch_sharding(mesh))
+        assert arr.sharding.spec == jax.sharding.PartitionSpec("data")
+        assert len(arr.addressable_shards) == 8

@@ -4,6 +4,14 @@ Host-side NumPy (slicing is not perf-critical; reference uses
 librosa.feature.rms — inference/slicer.py:6-142). The chunk-dict format
 (`{"slice": bool, "split_time": "start,end"}`) is kept API-compatible so the
 infer CLI behaves like the reference's.
+
+Provenance: the hysteresis state machine's *behavioral contract* (the
+min_length / min_interval / max_sil_kept split rules and the chunk-dict
+output) originates in the MIT-licensed openvpi/audio-slicer project, which
+the reference vendors verbatim as inference/slicer.py. This file is an
+independent rewrite against that contract (O(N) cumsum RMS frontend, no
+librosa), kept branch-compatible so sliced inference splits audio at the
+same points as the reference.
 """
 
 from __future__ import annotations

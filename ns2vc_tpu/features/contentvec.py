@@ -146,13 +146,20 @@ class ContentVec(nn.Module):
         return nn.Dense(self.final_dim, name="final_proj")(x)
 
 
-def convert_fairseq_hubert(sd) -> dict:
+def convert_fairseq_hubert(sd, strict: bool = True) -> dict:
     """fairseq HubertModel state dict (checkpoint['model']) -> flax params.
 
     Handles the contentvec `checkpoint_best_legacy_500.pt` layout
-    (reference utils.py:209-219 loads it via fairseq)."""
-    from ns2vc_tpu.utils.convert_reference import _np, layer_norm, linear
+    (reference utils.py:209-219 loads it via fairseq). With `strict`
+    (default) any source key neither converted nor a known
+    training-only tensor (`label_embs_concat`, `mask_emb` — used for
+    masked-prediction pretraining, never at feature-extraction time)
+    raises on layout drift (VERDICT round-2 #9)."""
+    from ns2vc_tpu.utils.convert_reference import (
+        TrackedStateDict, _np, assert_fully_consumed, layer_norm, linear,
+    )
 
+    sd = TrackedStateDict(sd)
     out: dict = {}
     fe = {}
     for i in range(len(CONV_LAYERS)):
@@ -193,6 +200,10 @@ def convert_fairseq_hubert(sd) -> dict:
         }
         i += 1
     out["final_proj"] = linear(sd, "final_proj")
+    if strict:
+        assert_fully_consumed(
+            sd, ignore=(r"label_embs_concat", r"mask_emb"),
+            context="convert_fairseq_hubert")
     return out
 
 

@@ -113,9 +113,16 @@ def compute_f0_uv_crepe(wav: np.ndarray, p_len: Optional[int] = None,
     return interpolate_f0(f0)
 
 
-def convert_torchcrepe(sd, model: str = "full") -> dict:
-    """torchcrepe state dict -> flax params/batch_stats trees."""
-    from ns2vc_tpu.utils.convert_reference import _np
+def convert_torchcrepe(sd, model: str = "full", strict: bool = True) -> dict:
+    """torchcrepe state dict -> flax params/batch_stats trees. With
+    `strict` (default) any source key neither converted nor a BatchNorm
+    `num_batches_tracked` counter raises on layout drift (VERDICT
+    round-2 #9)."""
+    from ns2vc_tpu.utils.convert_reference import (
+        TrackedStateDict, _np, assert_fully_consumed,
+    )
+
+    sd = TrackedStateDict(sd)
 
     filters = FULL_FILTERS if model == "full" else TINY_FILTERS
     params: dict = {}
@@ -133,6 +140,10 @@ def convert_torchcrepe(sd, model: str = "full") -> dict:
         "kernel": _np(sd["classifier.weight"]).T,
         "bias": _np(sd["classifier.bias"]),
     }
+    if strict:
+        assert_fully_consumed(
+            sd, ignore=(r".*\.num_batches_tracked",),
+            context="convert_torchcrepe")
     return {"params": params, "batch_stats": stats}
 
 

@@ -20,7 +20,50 @@ Only torch is required (CPU); all functions accept a flat
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
+
+
+class TrackedStateDict(dict):
+    """A state-dict wrapper that records which keys a converter consumed,
+    so `assert_fully_consumed` can fail LOUDLY on source-layout drift
+    (VERDICT round-2 #9: a renamed key in a real fairseq/vocos checkpoint
+    must not be silently dropped)."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.accessed: set = set()
+
+    def __getitem__(self, key):
+        self.accessed.add(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        if super().__contains__(key):
+            return self[key]
+        return default
+
+    def unconsumed(self, ignore: tuple = ()) -> list:
+        pats = [re.compile(p) for p in ignore]
+        return sorted(
+            k for k in self if k not in self.accessed
+            and not any(p.fullmatch(k) for p in pats))
+
+
+def assert_fully_consumed(sd: TrackedStateDict, ignore: tuple = (),
+                          context: str = "") -> None:
+    """Raise if the converter left any source key unconsumed (modulo the
+    `ignore` regexes, which cover non-parameter buffers the target
+    recomputes from config). The converse direction — every target param
+    written — is enforced by flax itself: `module.apply` raises on a
+    missing parameter collection entry."""
+    leftover = sd.unconsumed(ignore)
+    if leftover:
+        raise ValueError(
+            f"{context or 'converter'}: {len(leftover)} source state-dict "
+            f"key(s) not consumed — source layout drift? First few: "
+            f"{leftover[:8]}")
 
 
 def _np(x) -> np.ndarray:
@@ -281,11 +324,26 @@ def unet_condition(sd, p="", n_levels=4, layers_per_block=2):
 # {'step', 'model'} by Trainer.save, model.py:808-817)
 # ---------------------------------------------------------------------------
 
-def natural_speech2(sd, n_encoder_layers=6):
+# Non-parameter buffers the reference registers on NaturalSpeech2
+# (model.py:471-498) — the flax model recomputes all of them from config
+# (diffusion/schedule.py), so they are legitimately unconsumed.
+_NS2_BUFFER_IGNORE = (
+    r"betas", r"alphas_cumprod(_prev)?",
+    r"sqrt_alphas_cumprod", r"sqrt_one_minus_alphas_cumprod",
+    r"log_one_minus_alphas_cumprod", r"sqrt_recip(m1)?_alphas_cumprod",
+    r"posterior_variance", r"posterior_log_variance_clipped",
+    r"posterior_mean_coef[12]", r"loss_weight",
+)
+
+
+def natural_speech2(sd, n_encoder_layers=6, strict=True):
     """Full reference model state dict -> flax params for
-    ns2vc_tpu.models.diffusion.NaturalSpeech2."""
-    sd = {k.removeprefix("module."): v for k, v in sd.items()}  # DDP prefix
-    return {
+    ns2vc_tpu.models.diffusion.NaturalSpeech2. With `strict` (default),
+    any source key neither converted nor a known schedule buffer raises
+    (guards against upstream key-layout drift)."""
+    sd = TrackedStateDict(
+        {k.removeprefix("module."): v for k, v in sd.items()})  # DDP prefix
+    params = {
         "pre_model": {
             "ref_enc": text_time_embedding(sd, "pre_model.ref_enc"),
             "prompt_encoder": prompt_encoder(
@@ -295,6 +353,10 @@ def natural_speech2(sd, n_encoder_layers=6):
         },
         "diff_model": {"unet": unet_condition(sd, "diff_model.unet")},
     }
+    if strict:
+        assert_fully_consumed(sd, ignore=_NS2_BUFFER_IGNORE,
+                              context="natural_speech2")
+    return params
 
 
 def load_reference_checkpoint(path: str):

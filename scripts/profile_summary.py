@@ -96,9 +96,6 @@ def _load_pb2():
 
 
 def categorize(name: str) -> str:
-    if re.search(r"f32\[\d+,\d+,\d+,\d+\]", name) and "fusion" in name \
-            and re.search(r"f32\[\d+,\d+,(\d+),\1\]", name) is None:
-        pass  # fall through to finer rules below
     if "convolution" in name:
         return "convolution"
     if "copy-start" in name or "copy-done" in name \

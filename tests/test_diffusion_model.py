@@ -251,3 +251,19 @@ class TestFullConfigMigration:
         assert not extra, f"extra {len(extra)}: {extra[:5]}"
         mismatched = [k for k in want if want[k] != got[k]]
         assert not mismatched, mismatched[:5]
+
+    def test_converter_rejects_unconsumed_keys(self, reference_dir):
+        """Upstream key-layout drift fails loudly instead of silently
+        dropping weights (VERDICT round-2 #9). The real reference state
+        dict (with its schedule buffers) passes; one renamed key raises."""
+        model_mod, _ = load_reference()
+        ref_cfg = {**REF_CFG,
+                   "phoneme_encoder": {**REF_CFG["phoneme_encoder"],
+                                       "n_layers": 6},
+                   "prompt_encoder": {**REF_CFG["prompt_encoder"],
+                                      "n_layers": 6}}
+        torch.manual_seed(0)
+        sd = dict(model_mod.NaturalSpeech2(ref_cfg).state_dict())
+        sd["diff_model.unet.renamed_module.weight"] = torch.zeros(2)
+        with pytest.raises(ValueError, match="not consumed"):
+            cvt.natural_speech2(sd, n_encoder_layers=6)

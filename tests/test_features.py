@@ -109,3 +109,106 @@ class TestContentVecParity:
         """dataset/1 soft.pt has 65 frames for 1.3226 s of 16 kHz audio."""
         n16 = int(np.ceil(58330 * 16000 / 44100))
         assert content_frames(n16) == 65
+
+
+def _to_fairseq_layout(sd, layers, final_proj):
+    """Re-key a transformers HubertModel state dict into the fairseq
+    HubertModel layout that `checkpoint_best_legacy_500.pt` uses
+    (reference utils.py:209-219): conv layers at `.{i}.0`, layer-0 group
+    norm at `.0.2`, feature_projection -> layer_norm/post_extract_proj,
+    `attention` -> `self_attn`, feed_forward dense -> fc1/fc2."""
+    out = {}
+    for i in range(7):
+        out[f"feature_extractor.conv_layers.{i}.0.weight"] = \
+            sd[f"feature_extractor.conv_layers.{i}.conv.weight"]
+    out["feature_extractor.conv_layers.0.2.weight"] = \
+        sd["feature_extractor.conv_layers.0.layer_norm.weight"]
+    out["feature_extractor.conv_layers.0.2.bias"] = \
+        sd["feature_extractor.conv_layers.0.layer_norm.bias"]
+    out["layer_norm.weight"] = sd["feature_projection.layer_norm.weight"]
+    out["layer_norm.bias"] = sd["feature_projection.layer_norm.bias"]
+    out["post_extract_proj.weight"] = sd["feature_projection.projection.weight"]
+    out["post_extract_proj.bias"] = sd["feature_projection.projection.bias"]
+    pc = "encoder.pos_conv_embed.conv"
+    if f"{pc}.parametrizations.weight.original0" in sd:
+        wg = sd[f"{pc}.parametrizations.weight.original0"]
+        wv = sd[f"{pc}.parametrizations.weight.original1"]
+    else:
+        wg, wv = sd[f"{pc}.weight_g"], sd[f"{pc}.weight_v"]
+    out["encoder.pos_conv.0.weight_g"] = wg.reshape(1, 1, -1)
+    out["encoder.pos_conv.0.weight_v"] = wv
+    out["encoder.pos_conv.0.bias"] = sd[f"{pc}.bias"]
+    out["encoder.layer_norm.weight"] = sd["encoder.layer_norm.weight"]
+    out["encoder.layer_norm.bias"] = sd["encoder.layer_norm.bias"]
+    for i in range(layers):
+        hp, fp = f"encoder.layers.{i}", f"encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            out[f"{fp}.self_attn.{proj}.weight"] = \
+                sd[f"{hp}.attention.{proj}.weight"]
+            out[f"{fp}.self_attn.{proj}.bias"] = \
+                sd[f"{hp}.attention.{proj}.bias"]
+        out[f"{fp}.self_attn_layer_norm.weight"] = sd[f"{hp}.layer_norm.weight"]
+        out[f"{fp}.self_attn_layer_norm.bias"] = sd[f"{hp}.layer_norm.bias"]
+        out[f"{fp}.fc1.weight"] = sd[f"{hp}.feed_forward.intermediate_dense.weight"]
+        out[f"{fp}.fc1.bias"] = sd[f"{hp}.feed_forward.intermediate_dense.bias"]
+        out[f"{fp}.fc2.weight"] = sd[f"{hp}.feed_forward.output_dense.weight"]
+        out[f"{fp}.fc2.bias"] = sd[f"{hp}.feed_forward.output_dense.bias"]
+        out[f"{fp}.final_layer_norm.weight"] = sd[f"{hp}.final_layer_norm.weight"]
+        out[f"{fp}.final_layer_norm.bias"] = sd[f"{hp}.final_layer_norm.bias"]
+    out["final_proj.weight"], out["final_proj.bias"] = final_proj
+    return out
+
+
+class TestFairseqLayoutConverter:
+    """`convert_fairseq_hubert` consumes the real fairseq key layout
+    (reference utils.py:209-236 loads checkpoint_best_legacy_500.pt
+    through fairseq). Validated numerically against the HF-parity-tested
+    `_convert_hf` on the same underlying weights (VERDICT round-2 #2)."""
+
+    def _trees(self):
+        from ns2vc_tpu.features.contentvec import convert_fairseq_hubert
+
+        dim, heads, ffn, layers = 96, 4, 192, 2
+        torch.manual_seed(2)
+        hf = transformers.HubertModel(_hf_config(dim, heads, ffn, layers))
+        fp_w = torch.randn(64, dim)
+        fp_b = torch.randn(64)
+        fs_sd = _to_fairseq_layout(hf.state_dict(), layers, (fp_w, fp_b))
+        # training-only tensors present in the real checkpoint
+        fs_sd["label_embs_concat"] = torch.randn(504, 64)
+        fs_sd["mask_emb"] = torch.randn(dim)
+        got = convert_fairseq_hubert(fs_sd)
+        want = _convert_hf(hf.state_dict(), dim, layers)
+        want["final_proj"] = {"kernel": _np(fp_w).T, "bias": _np(fp_b)}
+        return got, want
+
+    def test_matches_hf_converter(self):
+        got, want = self._trees()
+        flat_got = {"/".join(p): v for p, v in
+                    _flatten(got)}
+        flat_want = {"/".join(p): v for p, v in _flatten(want)}
+        assert set(flat_got) == set(flat_want)
+        for k in flat_want:
+            np.testing.assert_allclose(flat_got[k], flat_want[k], atol=1e-6,
+                                       err_msg=k)
+
+    def test_rejects_unconsumed_keys(self):
+        from ns2vc_tpu.features.contentvec import convert_fairseq_hubert
+
+        dim, heads, ffn, layers = 96, 4, 192, 2
+        torch.manual_seed(3)
+        hf = transformers.HubertModel(_hf_config(dim, heads, ffn, layers))
+        fs_sd = _to_fairseq_layout(hf.state_dict(), layers,
+                                   (torch.randn(64, dim), torch.randn(64)))
+        fs_sd["encoder.layers.0.self_attn.renamed_upstream.weight"] = \
+            torch.randn(2, 2)
+        with pytest.raises(ValueError, match="not consumed"):
+            convert_fairseq_hubert(fs_sd)
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, prefix + (k,))
+    else:
+        yield prefix, np.asarray(tree)

@@ -15,6 +15,37 @@ from ns2vc_tpu.utils.checkpoints import (
 )
 
 
+def make_tiny_crepe_sd(seed: int = 0) -> dict:
+    """Deterministic tiny-CREPE torch-layout state dict from PCG64 —
+    shared by the committed-golden generator (scripts/make_crepe_golden.py)
+    and the CREPE oracle tests, so the golden file only needs to store the
+    expected activations, not 2 MB of weights."""
+    from ns2vc_tpu.features.crepe import TINY_FILTERS
+
+    rng = np.random.default_rng(seed)
+    sd = {}
+    in_ch = 1
+    for i, ch in enumerate(TINY_FILTERS):
+        k = 512 if i == 0 else 64
+        p = f"conv{i + 1}"
+        sd[f"{p}.weight"] = (0.05 * rng.standard_normal(
+            (ch, in_ch, k, 1))).astype(np.float32)
+        sd[f"{p}.bias"] = (0.05 * rng.standard_normal(ch)).astype(np.float32)
+        sd[f"{p}_BN.weight"] = (1 + 0.1 * rng.standard_normal(ch)).astype(
+            np.float32)
+        sd[f"{p}_BN.bias"] = (0.1 * rng.standard_normal(ch)).astype(
+            np.float32)
+        sd[f"{p}_BN.running_mean"] = (0.1 * rng.standard_normal(ch)).astype(
+            np.float32)
+        sd[f"{p}_BN.running_var"] = (0.5 + rng.random(ch)).astype(np.float32)
+        in_ch = ch
+    sd["classifier.weight"] = (0.05 * rng.standard_normal(
+        (360, TINY_FILTERS[-1] * 4))).astype(np.float32)
+    sd["classifier.bias"] = (0.05 * rng.standard_normal(360)).astype(
+        np.float32)
+    return sd
+
+
 class TestMixModels:
     def test_weighted_mix(self):
         a = {"w": jnp.ones((2, 2)), "b": jnp.zeros(2)}
@@ -131,3 +162,78 @@ class TestCrepe:
         probs = Crepe(model="tiny").apply(variables, jnp.zeros((2, WINDOW)))
         assert probs.shape == (2, 360)
         assert np.isfinite(np.asarray(probs)).all()
+
+    def test_converter_rejects_unconsumed_keys(self):
+        """Source-layout drift fails loudly (VERDICT round-2 #9)."""
+        from ns2vc_tpu.features.crepe import convert_torchcrepe
+
+        sd = make_tiny_crepe_sd()
+        sd["conv1_BN.num_batches_tracked"] = np.int64(7)  # legit buffer
+        convert_torchcrepe(sd, model="tiny")
+        sd["conv7.weight"] = np.zeros(3, np.float32)  # drifted layout
+        with pytest.raises(ValueError, match="not consumed"):
+            convert_torchcrepe(sd, model="tiny")
+
+    def test_torch_oracle_parity(self):
+        """Independent torch implementation of the published CREPE
+        architecture (Kim et al. 2018; torchcrepe's forward is
+        pad -> conv -> relu -> BN(eval) -> maxpool(2,1) x6, time-major
+        flatten, sigmoid classifier) as the numeric oracle for the JAX
+        model + converter. torchcrepe itself (and its weights) are not
+        installable in this image (reference utils.py:82-94), so
+        cross-implementation agreement + the committed golden below stand
+        in for real-weight goldens (VERDICT round-2 #10)."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from ns2vc_tpu.features.crepe import (
+            Crepe, TINY_FILTERS, convert_torchcrepe,
+        )
+
+        sd_np = make_tiny_crepe_sd()
+        frames = np.random.default_rng(1).standard_normal(
+            (4, 1024)).astype(np.float32)
+
+        with torch.no_grad():
+            x = torch.from_numpy(frames)[:, None, :, None]  # (N,1,1024,1)
+            for i in range(len(TINY_FILTERS)):
+                p = f"conv{i + 1}"
+                x = F.pad(x, (0, 0, 254, 254) if i == 0 else (0, 0, 31, 32))
+                x = F.conv2d(x, torch.from_numpy(sd_np[f"{p}.weight"]),
+                             torch.from_numpy(sd_np[f"{p}.bias"]),
+                             (4, 1) if i == 0 else (1, 1))
+                x = F.relu(x)
+                x = F.batch_norm(
+                    x, torch.from_numpy(sd_np[f"{p}_BN.running_mean"]),
+                    torch.from_numpy(sd_np[f"{p}_BN.running_var"]),
+                    torch.from_numpy(sd_np[f"{p}_BN.weight"]),
+                    torch.from_numpy(sd_np[f"{p}_BN.bias"]),
+                    training=False, eps=1e-5)
+                x = F.max_pool2d(x, (2, 1), (2, 1))
+            x = x.permute(0, 2, 1, 3).reshape(x.shape[0], -1)
+            want = torch.sigmoid(F.linear(
+                x, torch.from_numpy(sd_np["classifier.weight"]),
+                torch.from_numpy(sd_np["classifier.bias"]))).numpy()
+
+        got = np.asarray(Crepe(model="tiny").apply(
+            convert_torchcrepe(sd_np, model="tiny"), jnp.asarray(frames)))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    def test_committed_golden(self):
+        """Tiny-CREPE probs vs committed golden activations
+        (tests/goldens/crepe_tiny_golden.npz, generated once by the torch
+        oracle above; scripts/make_crepe_golden.py regenerates). Guards
+        against the two live implementations drifting together."""
+        from ns2vc_tpu.features.crepe import Crepe, convert_torchcrepe
+
+        path = os.path.join(os.path.dirname(__file__), "goldens",
+                            "crepe_tiny_golden.npz")
+        golden = np.load(path)
+        sd_np = make_tiny_crepe_sd(int(golden["weight_seed"]))
+        frames = np.random.default_rng(
+            int(golden["input_seed"])).standard_normal(
+            (4, 1024)).astype(np.float32)
+        got = np.asarray(Crepe(model="tiny").apply(
+            convert_torchcrepe(sd_np, model="tiny"), jnp.asarray(frames)))
+        np.testing.assert_allclose(got, golden["probs"], atol=5e-5,
+                                   rtol=1e-3)

@@ -96,3 +96,12 @@ class TestVocos:
         wav = v.apply(params, mel)
         assert wav.shape == (1, 8 * 16)
         assert np.isfinite(np.asarray(wav)).all()
+
+        # non-parameter buffers of the real charactr/vocos checkpoint
+        # are tolerated; anything else raises (VERDICT round-2 #9)
+        sd["feature_extractor.mel_spec.spectrogram.window"] = torch.ones(64)
+        sd["head.istft.window"] = torch.ones(64)
+        convert_vocos_state_dict(sd)
+        sd["backbone.convnext.0.renamed.weight"] = torch.randn(2)
+        with pytest.raises(ValueError, match="not consumed"):
+            convert_vocos_state_dict(sd)

@@ -302,11 +302,18 @@ class Svc:
     def infer_batch(self, clips: list, refer_mel: np.ndarray,
                     sample_method: str = "unipc",
                     sampling_timesteps: int = 30,
-                    seed: int = 0, order: int = 2) -> list:
+                    seed: int = 0, order: int = 2,
+                    f0s: Optional[list] = None,
+                    uvs: Optional[list] = None,
+                    auto_predict_f0: bool = False) -> list:
         """Convert many clips in ONE device batch — the sampler scan is
         batch-parallel, so N clips cost ~one clip of latency. `clips` is a
         list of (T_i, 256) content arrays; returns a list of waveforms.
-        All clips are padded to the max bucket and masked by length."""
+        All clips are padded to the max bucket and masked by length.
+
+        `f0s`/`uvs` are per-clip (T_i,) arrays; like the reference, f0
+        conditioning flows on EVERY inference path when the checkpoint has
+        it enabled (reference model.py:605-608)."""
         if not clips:
             return []
         t_lens = [c.shape[0] for c in clips]
@@ -320,14 +327,29 @@ class Svc:
         r_in = np.zeros((n, tp_pad, refer_mel.shape[1]), np.float32)
         r_in[:, :tp_len] = refer_mel[None]
 
+        use_f0 = f0s is not None and self.cfg.f0_predictor.enabled
+        f0_in = uv_in = None
+        if use_f0:
+            if len(f0s) != n:
+                raise ValueError(f"{len(f0s)} f0 arrays for {n} clips")
+            f0_in = np.zeros((n, t_pad), np.float32)
+            uv_in = np.zeros((n, t_pad), np.float32)
+            for i in range(n):
+                m = min(t_lens[i], len(f0s[i]))
+                f0_in[i, :m] = f0s[i][:m]
+                if uvs is not None and uvs[i] is not None:
+                    uv_in[i, :m] = uvs[i][:m]
+            f0_in, uv_in = jnp.asarray(f0_in), jnp.asarray(uv_in)
+
         if self.vocos is None:
             raise RuntimeError("vocos checkpoint missing — cannot vocode")
         fn = self._get_infer_fn(sample_method, sampling_timesteps, order,
-                                use_f0=False, auto_predict_f0=False,
+                                use_f0=use_f0,
+                                auto_predict_f0=auto_predict_f0,
                                 vocode=True)
         _, wav = fn(self.params, self.vocos_params, jnp.asarray(c_in),
                     jnp.asarray(r_in), jnp.asarray(t_lens),
-                    jnp.full((n,), tp_len), None, None,
+                    jnp.full((n,), tp_len), f0_in, uv_in,
                     jax.random.PRNGKey(seed))
         wav = np.asarray(wav)
         return [wav[i, : t_lens[i] * self.hop_size] for i in range(n)]
@@ -420,11 +442,20 @@ class RealTimeVC:
 
     def process(self, wav_chunk: np.ndarray, sr: int, refer_mel: np.ndarray,
                 tran: int = 0, sample_method: str = "unipc",
-                sampling_timesteps: int = 30) -> np.ndarray:
-        c, f0, uv, _ = self.svc.compute_features(wav_chunk, sr, tran)
+                sampling_timesteps: int = 30,
+                auto_predict_f0: bool = False,
+                f0_mean_pooling: bool = False,
+                cr_threshold: float = 0.05) -> np.ndarray:
+        """One streaming chunk. Exposes the same f0 controls as `infer`
+        (auto_predict_f0 / CREPE mean-pooling / cr_threshold) so
+        f0_predictor-enabled checkpoints keep their conditioning on the
+        streaming path too (reference model.py:605-608)."""
+        c, f0, uv, _ = self.svc.compute_features(
+            wav_chunk, sr, tran, f0_mean_pooling=f0_mean_pooling,
+            cr_threshold=cr_threshold)
         out = np.array(self.svc.infer_from_features(
             c, refer_mel, sample_method, sampling_timesteps,
-            f0=f0, uv=uv))
+            f0=f0, uv=uv, auto_predict_f0=auto_predict_f0))
         if self.last_tail is not None and self.pre_len > 0:
             n = min(self.pre_len, len(out), len(self.last_tail))
             ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)

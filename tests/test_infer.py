@@ -259,6 +259,50 @@ class TestF0Conditioning:
         assert wav_with.shape == wav_double.shape == (40 * 256,)
         assert not np.allclose(wav_with, wav_double)
 
+    def test_infer_batch_of_1_matches_single_clip(self, svc_f0):
+        """infer_batch forwards f0/uv like the single-clip path (VERDICT
+        round-2 #5; the reference passes f0 on every path,
+        model.py:605-608): a batch of one must reproduce the single-clip
+        output bit-for-bit at the same bucket."""
+        rng = np.random.default_rng(6)
+        c = rng.standard_normal((40, 256)).astype(np.float32)
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        f0 = np.full(40, 180.0, np.float32)
+        uv = np.ones(40, np.float32)
+        single = svc_f0.infer_from_features(
+            c, refer, sampling_timesteps=4, f0=f0, uv=uv)
+        batched = svc_f0.infer_batch(
+            [c], refer, sampling_timesteps=4, f0s=[f0], uvs=[uv])
+        np.testing.assert_array_equal(batched[0], single)
+        # and f0 actually conditions the batched path
+        batched_2x = svc_f0.infer_batch(
+            [c], refer, sampling_timesteps=4, f0s=[f0 * 4], uvs=[uv])
+        assert not np.allclose(batched_2x[0], batched[0])
+
+    def test_realtime_vc_forwards_f0_controls(self, svc_f0, monkeypatch):
+        """RealTimeVC.process exposes auto_predict_f0 and forwards f0/uv
+        (VERDICT round-2 #5)."""
+        seen = {}
+        real = svc_f0.infer_from_features
+
+        def spy(c, refer_mel, *a, **kw):
+            seen.update(kw)
+            return real(c, refer_mel, *a, **kw)
+
+        monkeypatch.setattr(svc_f0, "infer_from_features", spy)
+        monkeypatch.setattr(
+            svc_f0, "compute_features",
+            lambda wav, sr, tran=0, **kw: (
+                np.zeros((40, 256), np.float32),
+                np.full(40, 170.0, np.float32),
+                np.ones(40, np.float32), None))
+        rt = RealTimeVC(svc_f0, chunk_seconds=0.5, crossfade_seconds=0.02)
+        refer = np.zeros((30, 100), np.float32)
+        rt.process(np.zeros(12000, np.float32), 24000, refer,
+                   sampling_timesteps=4, auto_predict_f0=True)
+        assert seen["auto_predict_f0"] is True
+        assert seen["f0"] is not None and seen["uv"] is not None
+
     def test_auto_predict_f0_differs(self, svc_f0):
         rng = np.random.default_rng(1)
         c = rng.standard_normal((40, 256)).astype(np.float32)

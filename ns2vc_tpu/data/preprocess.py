@@ -159,6 +159,10 @@ def preprocess_dataset(in_dir: str, cfg: Optional[Config] = None,
 
 
 def main(argv=None):
+    from ns2vc_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # contentvec/mel programs compile once per
+    # machine, not once per process (VERDICT round-2 #4b)
     parser = argparse.ArgumentParser(
         description="Offline feature extraction (reference preprocess.py)")
     parser.add_argument("--in_dir", type=str, default="dataset")

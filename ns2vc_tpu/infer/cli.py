@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ns2vc_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # first clip compiles once per machine, not
+    # once per process (VERDICT round-2 #4b)
     args = build_parser().parse_args(argv)
     svc = Svc(args.model_path, args.config_path,
               contentvec_ckpt=args.contentvec_ckpt,

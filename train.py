@@ -6,10 +6,16 @@ Usage:
 
 import argparse
 
-from ns2vc_tpu.train.trainer import Trainer
-
 
 def main():
+    # must run before any jax backend use (reference multi-node analogue:
+    # `accelerate launch train.py`, README.md:60-64)
+    from ns2vc_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
+    from ns2vc_tpu.train.trainer import Trainer
+
     p = argparse.ArgumentParser()
     p.add_argument("-c", "--config", type=str, default=None)
     p.add_argument("--logs_folder", type=str, default=None)

@@ -364,29 +364,31 @@ def interpolate_f0(f0: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if len(voiced_idx) == 0:
         return out.astype(np.float32), uv
 
-    gaps = []  # (start, end_exclusive)
-    prev = -1
-    for v in voiced_idx:
-        if v > prev + 1:
-            gaps.append((prev + 1, v))
-        prev = v
-    if prev < n - 1:
-        gaps.append((prev + 1, n))
-
-    for start, end in gaps:
-        nxt = end if end < n else None          # next voiced frame index
-        prv = start - 1 if start > 0 else None  # previous voiced frame index
-        if nxt is not None and nxt < n - 1:
-            if prv is not None:
-                step = (data[nxt] - data[prv]) / float(nxt - start)
-                k = np.arange(start, nxt)
-                out[start:nxt] = data[prv] + step * (k - start + 1)
-            else:
-                out[start:nxt] = data[nxt]
-        else:
-            # trailing gap, or next voiced frame is the final frame:
-            # hold last voiced value (0.0 if there is none before the gap)
-            out[start:end if nxt is None else nxt] = data[prv] if prv is not None else 0.0
+    # Vectorized per unvoiced frame i (no Python loop over frames/gaps —
+    # this runs per training item in the loader hot path): with prv/nxt
+    # the surrounding voiced indices (-1 / n when absent) and the gap
+    # starting at prv+1, the reference's rules reduce to
+    #   nxt <  n-1, prv >= 0: data[prv] + (data[nxt]-data[prv])
+    #                          / (nxt-prv-1) * (i-prv)   (reaches data[nxt]
+    #                          one frame early — denominator nxt-start)
+    #   nxt <  n-1, prv <  0: data[nxt]        (leading gap)
+    #   else:                 data[prv] or 0.0 (trailing gap, or the next
+    #                          voiced frame is the final frame: hold)
+    unv = np.nonzero(data <= 0.0)[0]
+    if unv.size:
+        j = np.searchsorted(voiced_idx, unv)
+        has_nxt = j < len(voiced_idx)
+        has_prv = j > 0
+        nxt = np.where(has_nxt, voiced_idx[np.minimum(j, len(voiced_idx) - 1)], n)
+        prv = np.where(has_prv, voiced_idx[np.maximum(j - 1, 0)], -1)
+        d_prv = data[np.maximum(prv, 0)]
+        d_nxt = data[np.minimum(nxt, n - 1)]
+        denom = np.maximum(nxt - prv - 1, 1).astype(np.float64)
+        lin = d_prv + (d_nxt - d_prv) / denom * (unv - prv)
+        interior = nxt < n - 1
+        out[unv] = np.where(
+            interior & has_prv, lin,
+            np.where(interior, d_nxt, np.where(has_prv, d_prv, 0.0)))
     return out.astype(np.float32), uv
 
 

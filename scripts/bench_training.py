@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--skip_device", action="store_true")
     ap.add_argument("--loader_only", action="store_true",
                     help="measure host batch-loading throughput only")
+    ap.add_argument("--no_pack", action="store_true",
+                    help="loader_only: skip the in-worker transform+pack")
     ap.add_argument("--e2e_diag", action="store_true",
                     help="per-phase timing: load | H2D | step+sync")
     ap.add_argument("--log_every", type=int, default=1_000_000)
@@ -101,20 +103,39 @@ def main():
         from ns2vc_tpu.data.dataset import (
             FixedShapeCollator, VCDataset, data_loader,
         )
+        from ns2vc_tpu.parallel.mesh import make_batch_packer
+        from ns2vc_tpu.train.trainer import dummy_batch, host_transform
 
-        ds = VCDataset(args.data_dir, cfg, seed=0)
-        dl = data_loader(ds, FixedShapeCollator(cfg),
+        # production path, mirroring Trainer.__init__ exactly: no wav
+        # decode, bf16 collate, in-worker host_transform + pack
+        transform = None
+        collate_dtype = np.float32
+        if not args.no_pack:
+            proto = host_transform(dummy_batch(cfg), cfg)
+            pack, _ = make_batch_packer(proto)
+            transform = lambda b: pack(host_transform(b, cfg))  # noqa: E731
+            if cfg.train.compute_dtype == "bfloat16":
+                import ml_dtypes
+
+                collate_dtype = ml_dtypes.bfloat16
+
+        ds = VCDataset(args.data_dir, cfg, seed=0,
+                       load_audio=args.no_pack)
+        dl = data_loader(ds,
+                         FixedShapeCollator(cfg, include_wav=args.no_pack,
+                                            float_dtype=collate_dtype),
                          cfg.train.train_batch_size, seed=0,
-                         num_workers=args.num_workers)
-        for _ in range(5):
+                         num_workers=args.num_workers, transform=transform)
+        for _ in range(8):
             next(dl)  # warm the worker pool
-        n = 30
+        n = 60
         t0 = time.time()
         for _ in range(n):
             next(dl)
         dt = (time.time() - t0) / n
         print(json.dumps({"loader_batches_per_sec": round(1 / dt, 2),
-                          "loader_ms_per_batch": round(dt * 1e3, 1)}))
+                          "loader_ms_per_batch": round(dt * 1e3, 1),
+                          "packed": transform is not None}))
         return
 
     t0 = time.time()
@@ -126,6 +147,10 @@ def main():
     def to_dev(b):
         from ns2vc_tpu.parallel.mesh import batch_sharding, shard_batch
 
+        if isinstance(b, np.ndarray):  # loader workers already packed it
+            import jax as _jax
+
+            return _jax.device_put(b, batch_sharding(trainer.mesh))
         b = trainer._host_transform(b)
         if trainer._pack is not None:
             import jax as _jax
@@ -140,6 +165,9 @@ def main():
         with trainer.mesh:
             dev = to_dev(batch)
             t0 = time.time()
+            # AOT step cache: second fresh process deserializes instead of
+            # paying the ~840 s remote compile (trainer._ensure_step_ready)
+            trainer._ensure_step_ready(trainer.state, dev, trainer.rng)
             state, m = trainer._step_fn(trainer.state, dev, trainer.rng)
             float(m["loss"])
             print(f"compile(step): {time.time()-t0:.1f}s", flush=True)
@@ -151,6 +179,21 @@ def main():
             dt = (time.time() - t0) / n
         result["device_steps_per_sec"] = round(1.0 / dt, 2)
         result["device_ms_per_step"] = round(dt * 1e3, 1)
+        try:
+            # roofline position (VERDICT round-2 #6): XLA's FLOP count of
+            # the compiled train step / measured step time / chip peak
+            compiled = (trainer._step_fn
+                        if hasattr(trainer._step_fn, "cost_analysis")
+                        else trainer._step_fn.lower(
+                            trainer.state, dev, trainer.rng).compile())
+            ca = compiled.cost_analysis()
+            d = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(d["flops"])
+            peak = float(os.environ.get("NS2VC_PEAK_TFLOPS", "197")) * 1e12
+            result["train_tflops_per_sec"] = round(flops / dt / 1e12, 1)
+            result["train_mfu"] = round(flops / dt / peak, 3)
+        except Exception as e:
+            result["train_mfu_error"] = str(e)[:120]
         trainer.state = state
         if args.device_only:
             print(json.dumps(result))

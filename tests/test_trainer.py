@@ -104,6 +104,35 @@ class TestTrainer:
         # logging (reference model.py:923-938)
         assert gt_audio is not None and np.size(gt_audio) > 0
         assert refer_audio is not None and np.size(refer_audio) > 0
+        # VERDICT round-2 #3: the milestone eval is ONE jitted program
+        # (no eager generate_mel), and repeat milestones at the same
+        # shape bucket must not retrace
+        assert tr._eval_fn is not None
+        baseline = tr._eval_fn._cache_size()
+        assert baseline >= 1
+        tr.sample_eval(jax.random.PRNGKey(1))  # same bucket, fresh rng
+        assert tr._eval_fn._cache_size() == baseline
+
+    def test_aot_step_cache_cpu_bypass(self, processed_dir, tmp_path,
+                                       monkeypatch):
+        """The AOT step cache (VERDICT round-2 #4a: the XLA persistent
+        cache never serves the production donated+sharded step across
+        processes on the TPU stack) is TPU-only — on the CPU backend the
+        persistent cache already works cross-process and this image's
+        XLA:CPU AOT loader is broken (deserialized executables fail at
+        run time), so no AOT file may be written and training proceeds
+        on the plain jit path. The TPU-side round trip is measured by
+        scripts/bench_training.py runs (compile 837.7 s -> AOT load;
+        CLAUDE.md perf state)."""
+        from ns2vc_tpu.train.trainer import Trainer
+
+        monkeypatch.setenv("NS2VC_AOT_CACHE", str(tmp_path / "aot"))
+        cfg = tiny_config(processed_dir, tmp_path)
+        tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_aot1"))
+        tr.train(num_steps=1)
+        assert tr._step_ready
+        assert not (tmp_path / "aot").exists()
+        assert tr.step == 1
 
     def test_ema_save_restore(self, processed_dir, tmp_path):
         """use_ema resume must restore the saved EMA params, not reset

@@ -165,8 +165,9 @@ def main():
         with trainer.mesh:
             dev = to_dev(batch)
             t0 = time.time()
-            # AOT step cache: second fresh process deserializes instead of
-            # paying the ~840 s remote compile (trainer._ensure_step_ready)
+            # opt-in AOT step cache hook (NS2VC_AOT_STEP=1); a no-op by
+            # default — see trainer's AOT section comment for the measured
+            # reasons
             trainer._ensure_step_ready(trainer.state, dev, trainer.rng)
             state, m = trainer._step_fn(trainer.state, dev, trainer.rng)
             float(m["loss"])

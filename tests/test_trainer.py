@@ -113,17 +113,14 @@ class TestTrainer:
         tr.sample_eval(jax.random.PRNGKey(1))  # same bucket, fresh rng
         assert tr._eval_fn._cache_size() == baseline
 
-    def test_aot_step_cache_cpu_bypass(self, processed_dir, tmp_path,
-                                       monkeypatch):
-        """The AOT step cache (VERDICT round-2 #4a: the XLA persistent
-        cache never serves the production donated+sharded step across
-        processes on the TPU stack) is TPU-only — on the CPU backend the
-        persistent cache already works cross-process and this image's
-        XLA:CPU AOT loader is broken (deserialized executables fail at
-        run time), so no AOT file may be written and training proceeds
-        on the plain jit path. The TPU-side round trip is measured by
-        scripts/bench_training.py runs (compile 837.7 s -> AOT load;
-        CLAUDE.md perf state)."""
+    def test_aot_step_cache_off_by_default(self, processed_dir, tmp_path,
+                                           monkeypatch):
+        """The opt-in AOT step cache (VERDICT round-2 #4a diagnosis —
+        see the trainer's section comment: client persistent cache never
+        writes the 356 MB step executable; AOT executables hang at first
+        execution at production scale on this TPU backend) must stay
+        inert by default: no AOT file written, training on the plain jit
+        path."""
         from ns2vc_tpu.train.trainer import Trainer
 
         monkeypatch.setenv("NS2VC_AOT_CACHE", str(tmp_path / "aot"))

@@ -234,10 +234,52 @@ class DualTransformer1D(nn.Module):
         return encoded[0] * self.mix_ratio + encoded[1] * (1 - self.mix_ratio) + x
 
 
+class _GNParams(nn.Module):
+    """GroupNorm-shaped parameter holder (tree-identical to nn.GroupNorm:
+    {scale, bias}) for the fused resnet epilogue path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+class _ConvParams(nn.Module):
+    """nn.Conv-shaped parameter holder ({kernel, bias}, same default
+    initializers) for the fused resnet epilogue path."""
+
+    shape: Tuple[int, int, int]  # (K, C_in, C_out)
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           self.shape),
+                self.param("bias", nn.initializers.zeros, (self.shape[-1],)))
+
+
+def _use_fused_resnet(in_channels: int, out_channels: int) -> bool:
+    """Fused Pallas epilogue dispatch: measured win only at the UNet's
+    level-0 shape (C128->C128: kernel 3.3x vs XLA's conv at B=16 T=400;
+    it LOSES at C>=256 — scripts/bench_resnet_fusion.py), so the gate is
+    exactly that regime, on TPU, opt-in via NS2VC_FUSED_RESNET=1."""
+    import os
+
+    return (os.environ.get("NS2VC_FUSED_RESNET") == "1"
+            and jax.default_backend() != "cpu"
+            and in_channels == 128 and out_channels == 128)
+
+
 class ResnetBlock1D(nn.Module):
     """GN -> SiLU -> conv(k3) -> FiLM(temb) -> GN -> SiLU -> conv(k3)
     + 1x1 shortcut; 'scale_shift' time conditioning
-    (reference unet1d/resnet.py:461-640)."""
+    (reference unet1d/resnet.py:461-640).
+
+    At the level-0 shape the two GN(+FiLM)+SiLU+conv epilogues can run as
+    one Pallas kernel each (ops/pallas_resnet.py) — parameter tree
+    unchanged (checkpoints/converter unaffected), dispatch per
+    `_use_fused_resnet`."""
 
     out_channels: int
     groups: int = 8
@@ -246,20 +288,40 @@ class ResnetBlock1D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="norm1")(x)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3,), padding="SAME", name="conv1")(h)
+        fused = _use_fused_resnet(in_channels, self.out_channels)
 
         t = nn.silu(temb)
         t = nn.Dense(2 * self.out_channels, name="time_emb_proj")(t)
-        scale, shift = jnp.split(t[:, None, :], 2, axis=-1)
 
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="norm2")(h)
-        h = h * (1 + scale) + shift
-        h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3,), padding="SAME", name="conv2")(h)
+        if fused:
+            from ns2vc_tpu.ops.pallas_resnet import gn_silu_conv1d
+
+            s1, b1 = _GNParams(in_channels, name="norm1")()
+            k1, c1 = _ConvParams((3, in_channels, self.out_channels),
+                                 name="conv1")()
+            h = gn_silu_conv1d(x, s1, b1, k1.astype(x.dtype), c1,
+                               groups=self.groups, eps=self.eps)
+            scale, shift = jnp.split(t, 2, axis=-1)      # (B, C) each
+            s2, b2 = _GNParams(self.out_channels, name="norm2")()
+            k2, c2 = _ConvParams((3, self.out_channels, self.out_channels),
+                                 name="conv2")()
+            h = gn_silu_conv1d(h, s2, b2, k2.astype(x.dtype), c2,
+                               groups=self.groups, eps=self.eps,
+                               film_scale=scale, film_shift=shift)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                             name="norm1")(x)
+            h = nn.silu(h)
+            h = nn.Conv(self.out_channels, (3,), padding="SAME",
+                        name="conv1")(h)
+
+            scale, shift = jnp.split(t[:, None, :], 2, axis=-1)
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                             name="norm2")(h)
+            h = h * (1 + scale) + shift
+            h = nn.silu(h)
+            h = nn.Conv(self.out_channels, (3,), padding="SAME",
+                        name="conv2")(h)
 
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1,), name="conv_shortcut")(x)

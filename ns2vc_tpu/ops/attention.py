@@ -72,6 +72,24 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 # outright at 8k (B=8, H=8: the f32 logits alone exceed HBM); the flash
 # kernel is ~1.8x faster at 4k and the only feasible impl from 8k up.
 FLASH_MIN_KEYS = 2048
+# second dispatch axis, DISABLED by default (VERDICT round-2 #1 outcome):
+# XLA keeps the f32 probs fusion output in VMEM while it fits and spills
+# to HBM past ~100 MB (profile-verified: 82 MB at B=16 resident, 118 MB
+# at B=24 spills — the bench's batch cliff). The probs-free flash kernel
+# WINS the isolated comparison in the spill regime (T=400 H=8 D=32 bf16,
+# scripts/bench_attention.py: XLA 6.3/9.9/5.3/7.0 ms vs kernel
+# 6.1/6.4/3.8/4.8 at B=16/24/32/48) but LOSES end-to-end when dispatched
+# inside the synthesize program (bench.py --sweep, round 3: B=24
+# 275.6x vs 288x XLA, B=32 202.3x vs 251x — the kernel call breaks XLA's
+# surrounding fusions/async-copy scheduling and pads 400 -> 512 keys,
+# costing more than the avoided spill). Set NS2VC_FLASH_PROBS_MB to
+# re-enable for experiments; B=16/chip stays the roofline-sane operating
+# point, scale batch over the mesh instead.
+import os as _os
+
+_probs_mb = _os.environ.get("NS2VC_FLASH_PROBS_MB")
+FLASH_PROBS_BYTES = (int(_probs_mb) * 1024 * 1024 if _probs_mb
+                     else None)
 
 
 def _key_padding_bias(bias: jnp.ndarray | None) -> bool:
@@ -93,12 +111,30 @@ def multihead_attention(
     bias broadcasts against (B, H, Tq, Tk) — pass (B, 1, 1, Tk) for a key
     padding bias. attn_impl: 'xla' (fused dot-general), 'pallas' (flash
     kernel; requires bias=None or key-padding-only bias), or 'auto'
-    (default) which picks 'pallas' on TPU past FLASH_MIN_KEYS keys — at
-    this model's T<=512 shapes it always resolves to 'xla'."""
+    (default) which picks 'pallas' on TPU past FLASH_MIN_KEYS keys OR when
+    the would-be f32 probs tensor reaches the VMEM-spill regime
+    (FLASH_PROBS_BYTES — large batch x short T). `NS2VC_ATTN_IMPL` in the
+    env overrides 'auto' for experiments."""
     if attn_impl == "auto":
+        import os
+
+        forced = os.environ.get("NS2VC_ATTN_IMPL")
         on_tpu = jax.default_backend() != "cpu"
-        attn_impl = ("pallas" if on_tpu and k.shape[1] >= FLASH_MIN_KEYS
-                     and _key_padding_bias(bias) else "xla")
+        probs_bytes = q.shape[0] * num_heads * q.shape[1] * k.shape[1] * 4
+        # probs-footprint route: off unless NS2VC_FLASH_PROBS_MB is set
+        # (see FLASH_PROBS_BYTES above for the measured end-to-end loss);
+        # when enabled it is gated to sub-f32 inputs (f32 XLA keeps
+        # winning even the isolated comparison, e.g. 6.6 vs 7.2 ms at
+        # B=48)
+        spill = (FLASH_PROBS_BYTES is not None
+                 and probs_bytes >= FLASH_PROBS_BYTES
+                 and q.dtype != jnp.float32)
+        if forced in ("xla", "pallas"):
+            attn_impl = forced
+        else:
+            attn_impl = ("pallas" if on_tpu and _key_padding_bias(bias)
+                         and (k.shape[1] >= FLASH_MIN_KEYS or spill)
+                         else "xla")
     qh, kh, vh = (split_heads(x, num_heads) for x in (q, k, v))
     if attn_impl == "pallas":
         from ns2vc_tpu.ops.pallas_attention import flash_attention
@@ -110,7 +146,12 @@ def multihead_attention(
             assert _key_padding_bias(bias), \
                 "pallas path supports key-padding bias only"
             key_bias = bias[:, 0, 0, :]
+        # shrink blocks toward the sequence lengths: at T=400 the default
+        # (512, 1024) blocks would pad the k axis 2.6x
+        blk_q = min(512, -(-q.shape[1] // 128) * 128)
+        blk_k = min(1024, -(-k.shape[1] // 128) * 128)
         out = flash_attention(qh, kh, vh, bias=key_bias, scale=scale,
+                              block_q=blk_q, block_k=blk_k,
                               interpret=jax.default_backend() == "cpu")
     else:
         out = scaled_dot_product_attention(qh, kh, vh, bias=bias,

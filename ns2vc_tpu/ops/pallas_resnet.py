@@ -32,11 +32,20 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *, t_valid: int):
     """Grid (B,): whole (T, C) plane per step; conv k3 SAME as 3 matmuls.
 
-    x_ref (1, T, C); a_ref/b_ref (1, C); w_ref (3, C, Co); bias_ref (1, Co);
-    o_ref (1, T, Co)."""
+    x_ref (1, T, C); a_ref/b_ref (B, C) — the FULL per-batch affine table
+    (a (1, C) block would violate the TPU (8, 128) block-tiling rule;
+    the whole table is a few KB, so every grid step just loads it and
+    picks its row); w_ref (3, C, Co); bias_ref (1, Co); o_ref (1, T, Co).
+    """
+    i = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)                       # (T, C)
-    a = a_ref[0].astype(jnp.float32)[None, :]
-    b = b_ref[0].astype(jnp.float32)[None, :]
+    # row-select via one-hot reduction: Mosaic cannot prove a dynamic
+    # sublane index (a_ref[i]) is 8-aligned, but a (B, C) multiply+sum
+    # over the tiny affine table is free
+    rows = jax.lax.broadcasted_iota(jnp.int32, (a_ref.shape[0], 1), 0)
+    sel = (rows == i).astype(jnp.float32)
+    a = jnp.sum(a_ref[...].astype(jnp.float32) * sel, axis=0)[None, :]
+    b = jnp.sum(b_ref[...].astype(jnp.float32) * sel, axis=0)[None, :]
     xn = x * a + b
     xn = xn * jax.nn.sigmoid(xn)                           # SiLU
     # zero out padded tail rows so they don't bleed into valid outputs
@@ -61,7 +70,7 @@ def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *, t_valid: int):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def affine_silu_conv1d(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
                        w: jnp.ndarray, bias: jnp.ndarray,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool | None = None) -> jnp.ndarray:
     """y = conv1d_k3_SAME(silu(x * a + b), w) + bias.
 
     x (B, T, C); a, b (B, C) per-batch-channel affine (GroupNorm/FiLM
@@ -69,6 +78,8 @@ def affine_silu_conv1d(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
     T is padded to a multiple of 8 internally (sublane tiling); C and Co
     must be multiples of 128 (lane width) — true for the UNet's
     (128, 256, 384, 512) level widths."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     bsz, t, c = x.shape
     co = w.shape[-1]
     assert w.shape == (3, c, co), w.shape
@@ -83,8 +94,8 @@ def affine_silu_conv1d(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, t_p, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (i, 0)),
+            pl.BlockSpec((bsz, c), lambda i: (0, 0)),
+            pl.BlockSpec((bsz, c), lambda i: (0, 0)),
             pl.BlockSpec((3, c, co), lambda i: (0, 0, 0)),
             pl.BlockSpec((1, co), lambda i: (0, 0)),
         ],
@@ -101,7 +112,7 @@ def gn_silu_conv1d(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
                    w: jnp.ndarray, bias: jnp.ndarray, groups: int = 8,
                    eps: float = 1e-5, film_scale: jnp.ndarray | None = None,
                    film_shift: jnp.ndarray | None = None,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool | None = None) -> jnp.ndarray:
     """Full fused epilogue: GroupNorm(+optional FiLM) -> SiLU -> conv k3.
 
     Matches `nn.GroupNorm(groups, eps)` -> [h*(1+scale)+shift] -> silu ->

@@ -94,3 +94,30 @@ class TestFusedResnetEpilogue:
                              jnp.asarray(bias), interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5, rtol=1e-4)
+
+
+class TestFusedResnetBlockIntegration:
+    def test_fused_block_matches_unfused(self, monkeypatch):
+        """ResnetBlock1D's fused Pallas path (level-0 gate) must match the
+        plain flax path with the SAME parameter tree."""
+        from ns2vc_tpu.models import unet as unet_mod
+
+        block = unet_mod.ResnetBlock1D(out_channels=128)
+        r = np.random.default_rng(0)
+        x = jnp.asarray(r.standard_normal((2, 40, 128)), jnp.float32)
+        temb = jnp.asarray(r.standard_normal((2, 64)), jnp.float32)
+
+        monkeypatch.setattr(unet_mod, "_use_fused_resnet",
+                            lambda *a: False)
+        params = block.init(jax.random.PRNGKey(0), x, temb)
+        want = block.apply(params, x, temb)
+
+        monkeypatch.setattr(unet_mod, "_use_fused_resnet",
+                            lambda *a: True)
+        params_f = block.init(jax.random.PRNGKey(0), x, temb)
+        # identical tree: fused path declares the same params
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(params_f)
+        got = block.apply(params, x, temb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)

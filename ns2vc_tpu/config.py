@@ -44,11 +44,25 @@ class TrainConfig:
     grad_clip_norm: float = 1.0          # reference model.py:871
     compute_dtype: str = "bfloat16"       # MXU-native; "float32" for debugging
     remat: bool = True                    # jax.checkpoint on UNet blocks
+    # checkpoint policy when remat is on: "all" recomputes everything in
+    # the backward pass (min memory); "dots" saves matmul/conv outputs
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) so the
+    # MXU work is never recomputed — more memory, fewer backward FLOPs
+    remat_policy: str = "all"
     log_every: int = 100                  # reference model.py:882
     # fixed-shape padded batch geometry (XLA wants few shapes; the reference
     # pads per-batch to max+1, dataset.py:148-153)
     max_content_frames: int = 272         # >= ceil(400*2/3)+1, divisible by 8
     max_refer_frames: int = 272           # >= ceil(400*2/3)+1, divisible by 8
+    # length-bucketed batching (SURVEY §7.1.6): ascending frame buckets,
+    # each divisible by 8 (UNet T constraint). () = single fixed geometry.
+    # Items are grouped by (content, refer) bucket pair and each batch is
+    # padded to its pair instead of always (max_content, max_refer) —
+    # device step time scales with T, so short-item batches run on
+    # smaller compiled programs. Each distinct pair compiles its own
+    # train-step program (keep the list short; on this image's remote
+    # compile service a production-size step is ~60 s warm per shape).
+    length_buckets: Tuple[int, ...] = ()
     prefetch_depth: int = 3               # in-flight H2D batch transfers
     pack_h2d: bool = True                 # one uint8 H2D transfer per batch
                                           # (unpacked in-jit); wins on

@@ -208,27 +208,29 @@ class FixedShapeCollator:
         self.include_wav = include_wav
         self.float_dtype = float_dtype
 
-    def __call__(self, batch: list) -> dict:
+    def __call__(self, batch: list,
+                 geometry: tuple[int, int] | None = None) -> dict:
         batch = [b for b in batch if b is not None]
         assert batch, "empty batch after filtering short clips"
+        t_c, t_r = geometry if geometry is not None else (self.t_c, self.t_r)
         n = len(batch)
         c_dim = batch[0][1].shape[0]
         spec_dim = batch[0][3].shape[0]
         fd = self.float_dtype
         out = {
-            "c": np.zeros((n, self.t_c, c_dim), fd),
-            "refer": np.zeros((n, self.t_r, spec_dim), fd),
-            "f0": np.zeros((n, self.t_c), fd),
-            "spec": np.zeros((n, self.t_c, spec_dim), fd),
-            "uv": np.zeros((n, self.t_c), fd),
+            "c": np.zeros((n, t_c, c_dim), fd),
+            "refer": np.zeros((n, t_r, spec_dim), fd),
+            "f0": np.zeros((n, t_c), fd),
+            "spec": np.zeros((n, t_c, spec_dim), fd),
+            "uv": np.zeros((n, t_c), fd),
             "lengths": np.zeros((n,), np.int32),
             "refer_lengths": np.zeros((n,), np.int32),
         }
         if self.include_wav:
-            out["wav"] = np.zeros((n, self.t_c * self.hop), fd)
+            out["wav"] = np.zeros((n, t_c * self.hop), fd)
         for i, (refer, c, f0, spec, audio, uv) in enumerate(batch):
-            lc = min(c.shape[1], self.t_c)
-            lr = min(refer.shape[1], self.t_r)
+            lc = min(c.shape[1], t_c)
+            lr = min(refer.shape[1], t_r)
             out["lengths"][i] = lc
             out["refer_lengths"][i] = lr
             out["c"][i, :lc] = c[:, :lc].T
@@ -237,9 +239,98 @@ class FixedShapeCollator:
             out["spec"][i, :lc] = spec[:, :lc].T
             out["uv"][i, :lc] = uv[:lc]
             if self.include_wav:
-                lw = min(audio.shape[-1], self.t_c * self.hop)
+                lw = min(audio.shape[-1], t_c * self.hop)
                 out["wav"][i, :lw] = audio[:lw]
         return out
+
+
+class BucketedCollator(FixedShapeCollator):
+    """Length-bucketed fixed-shape batching (SURVEY §7.1.6): pads each
+    batch to the smallest (content, refer) bucket pair that fits its
+    items instead of always (max_content_frames, max_refer_frames).
+
+    The reference pads per-batch to max+1 (dataset.py:148-153) — dynamic
+    shapes XLA would recompile on every batch. A short ascending bucket
+    list (multiples of 8, the UNet T constraint) keeps the compiled-shape
+    count bounded while recovering most of the padding waste: device step
+    time scales ~linearly with T, and random_slice makes content and
+    refer lengths anti-correlated (they sum to the clip length), so the
+    always-max geometry wastes compute on nearly every batch.
+
+    `data_loader` groups items by `bucket_of` so every emitted batch is
+    uniform in its pair. Note the pair-grouping trade-off: batches become
+    length-correlated (the reference's random batches are too, through
+    its per-batch max padding). The masked loss is invariant to the
+    content pad length; the pooled prompt embedding follows the
+    reference's unmasked padded-mean quirk (model.py:344), so it varies
+    with the refer pad length exactly like the reference's per-batch
+    padding does."""
+
+    def __init__(self, cfg, buckets, include_wav: bool = True,
+                 float_dtype=np.float32):
+        super().__init__(cfg, include_wav=include_wav,
+                         float_dtype=float_dtype)
+        bs = tuple(sorted(dict.fromkeys(int(b) for b in buckets)))
+        assert bs, "BucketedCollator needs at least one bucket"
+        assert all(b % 8 == 0 and b > 0 for b in bs), \
+            f"buckets must be positive multiples of 8 (UNet T % 8): {bs}"
+        self.buckets = bs
+
+    def _fit(self, length: int, cap: int) -> int:
+        """Smallest bucket >= length, clamped to the axis cap (items
+        beyond the cap are cropped, matching FixedShapeCollator)."""
+        length = min(length, cap)
+        for b in self.buckets:
+            if b >= length:
+                return min(b, cap)
+        return min(self.buckets[-1], cap)
+
+    def bucket_of(self, item) -> tuple[int, int]:
+        """(content, refer) geometry for one random_slice output."""
+        refer, c = item[0], item[1]
+        return (self._fit(c.shape[1], self.t_c),
+                self._fit(refer.shape[1], self.t_r))
+
+    def geometries(self) -> list[tuple[int, int]]:
+        """Every (t_c, t_r) pair this collator can emit (for pre-building
+        per-geometry packers / warming per-shape compiled steps)."""
+        cs = sorted({min(b, self.t_c) for b in self.buckets})
+        rs = sorted({min(b, self.t_r) for b in self.buckets})
+        return [(tc, tr) for tc in cs for tr in rs]
+
+    def __call__(self, batch: list,
+                 geometry: tuple[int, int] | None = None) -> dict:
+        items = [b for b in batch if b is not None]
+        assert items, "empty batch after filtering short clips"
+        if geometry is None:
+            pairs = [self.bucket_of(b) for b in items]
+            geometry = (max(p[0] for p in pairs), max(p[1] for p in pairs))
+        return super().__call__(items, geometry=geometry)
+
+
+class _Batcher:
+    """Accumulates loaded items into full batches. With a bucketed
+    collator, items are grouped by their (content, refer) bucket pair so
+    every emitted batch has one uniform geometry; otherwise a single
+    FIFO buffer."""
+
+    def __init__(self, collator, batch_size: int):
+        self.collator = collator
+        self.n = batch_size
+        self.bucketed = hasattr(collator, "bucket_of")
+        self.bufs: dict = {}
+
+    def add(self, item) -> Optional[dict]:
+        """Returns a collated batch once one fills, else None."""
+        key = self.collator.bucket_of(item) if self.bucketed else None
+        buf = self.bufs.setdefault(key, [])
+        buf.append(item)
+        if len(buf) < self.n:
+            return None
+        self.bufs[key] = buf[self.n:]
+        if self.bucketed:
+            return self.collator(buf[: self.n], geometry=key)
+        return self.collator(buf[: self.n])
 
 
 def _process_worker(dataset, collator, batch_size, idx_q, out_q, wseed,
@@ -251,17 +342,16 @@ def _process_worker(dataset, collator, batch_size, idx_q, out_q, wseed,
     full collated dict (the pickle/pipe cost of ~27 MB/batch was the
     round-2 loader bottleneck, VERDICT #2)."""
     dataset.rng = random.Random(wseed)  # de-correlate random_slice crops
-    buf: list = []
+    batcher = _Batcher(collator, batch_size)
     try:
         while True:
             for i in idx_q.get():
                 item = dataset[i]
-                if item is not None:
-                    buf.append(item)
-            while len(buf) >= batch_size:
-                batch = collator(buf[:batch_size])
-                out_q.put(transform(batch) if transform else batch)
-                buf = buf[batch_size:]
+                if item is None:
+                    continue
+                batch = batcher.add(item)
+                if batch is not None:
+                    out_q.put(transform(batch) if transform else batch)
     except Exception:
         import traceback
 
@@ -313,14 +403,16 @@ def data_loader(dataset: VCDataset, collator: FixedShapeCollator,
             order = epoch[shard_index::shard_count] or epoch[:1]
         return order.pop()
 
+    serial_batcher = _Batcher(collator, batch_size)
+
     def make_batch():
-        items = []
-        while len(items) < batch_size:
+        while True:
             item = dataset[next_index()]
-            if item is not None:
-                items.append(item)
-        batch = collator.__call__(items)
-        return transform(batch) if transform else batch
+            if item is None:
+                continue
+            batch = serial_batcher.add(item)
+            if batch is not None:
+                return transform(batch) if transform else batch
 
     if num_workers <= 0:
         while True:
@@ -360,17 +452,17 @@ def data_loader(dataset: VCDataset, collator: FixedShapeCollator,
     lock = threading.Lock()
 
     def worker():
+        batcher = _Batcher(collator, batch_size)
         try:
             while True:
-                items = []
-                while len(items) < batch_size:
-                    with lock:  # lock covers index handout ONLY;
-                        idx = next_index()  # loading runs in parallel
-                    item = dataset[idx]
-                    if item is not None:
-                        items.append(item)
-                batch = collator(items)
-                q.put(transform(batch) if transform else batch)
+                with lock:  # lock covers index handout ONLY;
+                    idx = next_index()  # loading runs in parallel
+                item = dataset[idx]
+                if item is None:
+                    continue
+                batch = batcher.add(item)
+                if batch is not None:
+                    q.put(transform(batch) if transform else batch)
         except Exception:  # propagate through the queue
             import traceback
 

@@ -107,6 +107,7 @@ class DiffusionEncoder(nn.Module):
 
     cfg: Config
     remat: bool = False
+    remat_policy: str = "all"
 
     def _unet(self):
         d = self.cfg.diffusion_encoder
@@ -120,6 +121,7 @@ class DiffusionEncoder(nn.Module):
             num_attention_heads=d.n_heads,
             addition_embed_heads=d.addition_embed_heads,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             name="unet")
 
     @nn.compact
@@ -144,10 +146,12 @@ class NaturalSpeech2(nn.Module):
 
     cfg: Config
     remat: bool = False
+    remat_policy: str = "all"
 
     def setup(self):
         self.pre_model = PreModel(self.cfg, name="pre_model")
         self.diff_model = DiffusionEncoder(self.cfg, remat=self.remat,
+                                           remat_policy=self.remat_policy,
                                            name="diff_model")
         self.schedule = NoiseSchedule(self.cfg.train.timesteps)
 

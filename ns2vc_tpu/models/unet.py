@@ -371,6 +371,7 @@ class UNet1DConditionModel(nn.Module):
     freq_shift: float = 0.0
     flip_sin_to_cos: bool = True
     remat: bool = False
+    remat_policy: str = "all"  # "all" | "dots" (see TrainConfig)
 
     def _cross_attn_layout(self):
         """(name, channels) of every cross-attention transformer, in forward
@@ -402,7 +403,15 @@ class UNet1DConditionModel(nn.Module):
         time_embed_dim = chans[0] * 4
         n_levels = len(chans)
 
-        maybe_remat = (lambda f: nn.remat(f)) if self.remat else (lambda f: f)
+        if self.remat:
+            policy = {
+                "all": None,  # recompute everything (min memory)
+                "dots": jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable,
+            }[self.remat_policy]
+            maybe_remat = (lambda f: nn.remat(f, policy=policy))
+        else:
+            maybe_remat = (lambda f: f)
 
         def transformer(ch, name):
             return maybe_remat(Transformer1D)(

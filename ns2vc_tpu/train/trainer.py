@@ -137,13 +137,15 @@ def host_transform(batch: dict, cfg: Config) -> dict:
     return batch
 
 
-def dummy_batch(cfg: Config) -> dict:
-    """Prototype batch for shape/layout derivation. Host numpy on purpose:
+def dummy_batch(cfg: Config,
+                geometry: tuple[int, int] | None = None) -> dict:
+    """Prototype batch for shape/layout derivation at the default or a
+    specific bucket (t_c, t_r) geometry. Host numpy on purpose:
     jnp.zeros here would dispatch device programs (on this image, through
     the remote-compile tunnel) just to describe a layout."""
     t = cfg.train
     b = max(t.train_batch_size, 1)
-    tc, tr = t.max_content_frames, t.max_refer_frames
+    tc, tr = geometry or (t.max_content_frames, t.max_refer_frames)
     return {
         "c": np.zeros((b, tc, cfg.phoneme_encoder.in_channels), np.float32),
         "refer": np.zeros((b, tr, cfg.prompt_encoder.in_channels),
@@ -176,7 +178,8 @@ class Trainer:
         t = self.cfg.train
 
         self.mesh = mesh or make_mesh(self.cfg.parallel.model_parallel_size)
-        self.model = NaturalSpeech2(self.cfg, remat=t.remat)
+        self.model = NaturalSpeech2(self.cfg, remat=t.remat,
+                                    remat_policy=t.remat_policy)
         self.optimizer = make_optimizer(self.cfg)
         self.accum = t.gradient_accumulate_every
         self.rng = jax.random.PRNGKey(t.seed)
@@ -193,11 +196,36 @@ class Trainer:
 
         save_config(self.cfg, os.path.join(self.logs_folder, "config.json"))
 
+        # length-bucketed batching (SURVEY §7.1.6, config
+        # train.length_buckets): the collator pads each batch to its
+        # (content, refer) bucket pair; every pair gets its own packed
+        # layout + compiled step program (see _get_step_fn)
+        self._bucket_geometries: list[tuple[int, int]] | None = None
+        if t.length_buckets:
+            from ns2vc_tpu.data.dataset import BucketedCollator
+
+            self._collator_cls = lambda **kw: BucketedCollator(
+                self.cfg, t.length_buckets, **kw)
+            probe = BucketedCollator(self.cfg, t.length_buckets)
+            self._bucket_geometries = probe.geometries()
+        else:
+            self._collator_cls = lambda **kw: FixedShapeCollator(
+                self.cfg, **kw)
+
         # packed-H2D layout, built from the dummy batch geometry: workers
         # run host_transform + pack so the loader queue and the H2D path
         # carry ONE small uint8 buffer per batch (see parallel/mesh.py and
-        # data_loader(transform=...))
+        # data_loader(transform=...)). With buckets, one packer per
+        # geometry (pre-built so fork-inherited workers share the table).
+        self._packers = None
         if t.pack_h2d:
+            if self._bucket_geometries is not None:
+                self._packers = {}
+                for geom in self._bucket_geometries:
+                    proto = self._host_transform(
+                        {k: np.asarray(v)
+                         for k, v in self._dummy_batch(geom).items()})
+                    self._packers[geom] = make_batch_packer(proto)
             proto = self._host_transform(
                 {k: np.asarray(v) for k, v in self._dummy_batch().items()})
             self._pack, self._pack_spec = make_batch_packer(proto)
@@ -225,7 +253,7 @@ class Trainer:
         if (os.cpu_count() or 1) <= 2:
             n_workers = 0
         self.dl = data_loader(
-            ds, FixedShapeCollator(self.cfg, include_wav=False,
+            ds, self._collator_cls(include_wav=False,
                                    float_dtype=collate_dtype),
             t.train_batch_size, seed=t.seed,
             num_workers=n_workers, transform=transform)
@@ -270,6 +298,7 @@ class Trainer:
                 compute_dtype=resolve_dtype(t.compute_dtype),
                 ema_decay=t.ema_decay if t.use_ema else 0.0,
                 ema_every=t.ema_update_every)
+            self._inner_step = inner_step
             if t.pack_h2d:
                 # the step consumes one (B, N) uint8 buffer and unpacks
                 # in-program — a single H2D transfer per batch (see
@@ -289,6 +318,7 @@ class Trainer:
         self._ckpt_mgr = None
         self._eval_fn = None
         self._step_ready = False
+        self._step_fns: dict = {}  # bucket geometry -> jitted step
 
     # ------------------------------------------------------------------
 
@@ -313,17 +343,47 @@ class Trainer:
             with open(path, "w") as f:
                 f.write(h)
 
-    def _pack_transform(self, batch: dict) -> np.ndarray:
+    def _pack_transform(self, batch: dict):
         """In-worker batch finalization: host_transform + pack. Runs in the
         fork-inherited loader workers so the inter-process queue and the
-        H2D transfer both carry one small (B, N) uint8 buffer."""
+        H2D transfer both carry one small (B, N) uint8 buffer. With
+        buckets, returns (geometry, packed) so the step dispatcher picks
+        the matching unpacking spec without guessing from buffer size."""
+        if self._packers is not None:
+            geom = (batch["c"].shape[1], batch["refer"].shape[1])
+            return geom, self._packers[geom][0](self._host_transform(batch))
         return self._pack(self._host_transform(batch))
+
+    def _get_step_fn(self, geometry: tuple[int, int] | None):
+        """Compiled train step for one bucket geometry. geometry=None (the
+        unbucketed path) returns the init-time step; each bucket pair gets
+        its own jitted program holding that pair's packed-layout spec (the
+        dict/unpacked batch path needs no per-pair program — jit already
+        keys on input shapes)."""
+        if geometry is None or self._packers is None:
+            return self._step_fn
+        fn = self._step_fns.get(geometry)
+        if fn is None:
+            spec = self._packers[geometry][1]
+            inner = self._inner_step
+
+            def step(state, packed, rng):
+                return inner(state, unpack_batch(packed, spec), rng)
+
+            fn = jax.jit(
+                step,
+                in_shardings=(self._shardings, batch_sharding(self.mesh),
+                              None),
+                out_shardings=(self._shardings, None),
+                donate_argnums=(0,))
+            self._step_fns[geometry] = fn
+        return fn
 
     def _host_transform(self, batch: dict) -> dict:
         return host_transform(batch, self.cfg)
 
-    def _dummy_batch(self) -> dict:
-        return dummy_batch(self.cfg)
+    def _dummy_batch(self, geometry: tuple[int, int] | None = None) -> dict:
+        return dummy_batch(self.cfg, geometry)
 
     @property
     def step(self) -> int:
@@ -442,7 +502,10 @@ class Trainer:
         if self._step_ready:
             return
         if (jax.default_backend() == "cpu"
-                or os.environ.get("NS2VC_AOT_STEP") != "1"):
+                or os.environ.get("NS2VC_AOT_STEP") != "1"
+                or self._bucket_geometries is not None):
+            # bucketed runs dispatch per-geometry programs (_get_step_fn);
+            # the single-executable AOT swap does not apply there
             self._step_ready = True
             return
         import pickle
@@ -575,10 +638,15 @@ class Trainer:
         # overlap step execution (H2D otherwise dominates on high-latency
         # hosts). With pack_h2d the whole batch ships as one uint8 buffer.
         def to_device(batch):
+            if isinstance(batch, tuple):  # bucketed: (geometry, packed)
+                geom, packed = batch
+                return geom, jax.device_put(packed,
+                                            batch_sharding(self.mesh))
             if self._pack is not None:
                 # loader workers already ran host_transform + pack
-                return jax.device_put(batch, batch_sharding(self.mesh))
-            return shard_batch(self._host_transform(batch), self.mesh)
+                return None, jax.device_put(batch,
+                                            batch_sharding(self.mesh))
+            return None, shard_batch(self._host_transform(batch), self.mesh)
 
         def prefetched(depth: int = t.prefetch_depth):
             # depth in-flight H2D transfers: through a high-latency
@@ -604,10 +672,10 @@ class Trainer:
                 elif self.step == start + num:
                     jax.profiler.stop_trace()
             with self.mesh:
-                batch = next(device_batches)
+                geom, batch = next(device_batches)
                 self._ensure_step_ready(self.state, batch, data_rng)
-                self.state, metrics = self._step_fn(self.state, batch,
-                                                    data_rng)
+                step_fn = self._get_step_fn(geom)
+                self.state, metrics = step_fn(self.state, batch, data_rng)
 
             step = self.step
             if step % t.log_every == 0:

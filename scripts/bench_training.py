@@ -71,6 +71,14 @@ def main():
     ap.add_argument("--e2e_diag", action="store_true",
                     help="per-phase timing: load | H2D | step+sync")
     ap.add_argument("--log_every", type=int, default=1_000_000)
+    ap.add_argument("--frames", type=int, default=0,
+                    help="override the (content, refer) frame geometry — "
+                    "measures the per-bucket device rate that "
+                    "train.length_buckets dispatches to (SURVEY §7.1.6)")
+    ap.add_argument("--remat", choices=["all", "dots", "off"], default=None,
+                    help="rematerialization variant: all=recompute "
+                    "everything (default), dots=save matmul/conv outputs, "
+                    "off=no remat")
     args = ap.parse_args()
 
     import jax
@@ -98,6 +106,17 @@ def main():
             cfg.train, num_workers=args.num_workers,
             log_every=args.log_every, save_and_sample_every=1_000_000_000),
     )
+    if args.frames:
+        assert args.frames % 8 == 0, "UNet needs T % 8 == 0"
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, max_content_frames=args.frames,
+                max_refer_frames=args.frames))
+    if args.remat:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, remat=args.remat != "off",
+                remat_policy=args.remat if args.remat != "off" else "all"))
 
     if args.loader_only:
         from ns2vc_tpu.data.dataset import (

@@ -141,3 +141,87 @@ class TestCollator:
             assert batch["refer"].shape == (3, 96, 100)
             assert (batch["lengths"] > 0).all()
             assert np.isfinite(batch["spec"]).all()
+
+
+def _fake_item(t_c, t_r, c_dim=256, spec_dim=100, hop=256, seed=0):
+    """Synthetic random_slice output with exact content/refer lengths."""
+    r = np.random.default_rng(seed)
+    return (r.standard_normal((spec_dim, t_r)).astype(np.float32),  # refer
+            r.standard_normal((c_dim, t_c)).astype(np.float32),     # c
+            r.standard_normal((t_c,)).astype(np.float32),           # f0
+            r.standard_normal((spec_dim, t_c)).astype(np.float32),  # spec
+            r.standard_normal((t_c * hop,)).astype(np.float32),     # audio
+            (r.random((t_c,)) > 0.5).astype(np.float32))            # uv
+
+
+class TestBucketedCollator:
+    """Length-bucketed batching (SURVEY §7.1.6, TrainConfig.length_buckets)."""
+
+    def _cfg(self):
+        return Config(train=TrainConfig(max_content_frames=160,
+                                        max_refer_frames=96))
+
+    def test_bucket_selection_and_geometry(self):
+        from ns2vc_tpu.data.dataset import BucketedCollator
+
+        coll = BucketedCollator(self._cfg(), buckets=(48, 96, 160))
+        # smallest bucket that fits, clamped to each axis cap
+        assert coll.bucket_of(_fake_item(30, 30)) == (48, 48)
+        assert coll.bucket_of(_fake_item(49, 90)) == (96, 96)
+        assert coll.bucket_of(_fake_item(100, 100)) == (160, 96)
+        assert coll.bucket_of(_fake_item(500, 500)) == (160, 96)  # cropped
+        geoms = coll.geometries()
+        assert (48, 48) in geoms and (160, 96) in geoms
+        assert all(tc <= 160 and tr <= 96 for tc, tr in geoms)
+
+        batch = coll([_fake_item(30, 30), _fake_item(40, 44, seed=1)])
+        assert batch["c"].shape == (2, 48, 256)
+        assert batch["refer"].shape == (2, 48, 100)
+        assert batch["spec"].shape == (2, 48, 100)
+        assert batch["wav"].shape == (2, 48 * 256)
+        np.testing.assert_array_equal(batch["lengths"], [30, 40])
+
+    def test_rejects_non_multiple_of_8(self):
+        from ns2vc_tpu.data.dataset import BucketedCollator
+
+        with pytest.raises(AssertionError):
+            BucketedCollator(self._cfg(), buckets=(50, 96))
+
+    def test_loader_groups_by_bucket(self, processed_dir):
+        """Every emitted batch is full-size and uniform in its pair, and
+        its geometry is the smallest bucket fitting its items."""
+        from ns2vc_tpu.data.dataset import BucketedCollator
+
+        cfg = self._cfg()
+        ds = VCDataset(processed_dir, cfg, seed=4)
+        coll = BucketedCollator(cfg, buckets=(48, 96, 160))
+        loader = data_loader(ds, coll, batch_size=2, seed=0)
+        geoms = set(coll.geometries())
+        seen = set()
+        for _, batch in zip(range(6), loader):
+            tc, tr = batch["c"].shape[1], batch["refer"].shape[1]
+            assert (tc, tr) in geoms
+            assert batch["c"].shape[0] == 2
+            # geometry is the smallest bucket covering the batch
+            lmax = int(batch["lengths"].max())
+            assert tc >= lmax
+            smaller = [b for b in coll.buckets if b < tc]
+            if smaller:
+                assert lmax > max(smaller) or tc == 160
+            seen.add((tc, tr))
+        assert seen  # at least one geometry exercised
+
+    @pytest.mark.parametrize("use_processes", [False, True])
+    def test_worker_loader_bucketed(self, processed_dir, use_processes):
+        from ns2vc_tpu.data.dataset import BucketedCollator
+
+        cfg = self._cfg()
+        ds = VCDataset(processed_dir, cfg, seed=5)
+        coll = BucketedCollator(cfg, buckets=(96, 160))
+        loader = data_loader(ds, coll, batch_size=2, seed=0, num_workers=2,
+                             use_processes=use_processes)
+        geoms = set(coll.geometries())
+        for _, batch in zip(range(3), loader):
+            assert (batch["c"].shape[1], batch["refer"].shape[1]) in geoms
+            assert (batch["lengths"] > 0).all()
+            assert np.isfinite(batch["spec"]).all()

@@ -216,3 +216,58 @@ class TestTrainInferBridge:
         wav = svc.infer_from_features(c, refer, sampling_timesteps=4)
         assert wav.shape == (40 * 256,)
         assert np.isfinite(wav).all()
+
+
+def test_bucketed_training(processed_dir, tmp_path):
+    """length_buckets: per-geometry packed layouts + compiled steps
+    (SURVEY §7.1.6). Three steps across whatever buckets the sample
+    data lands in must update params and keep the loss finite."""
+    from ns2vc_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(processed_dir, tmp_path, train_batch_size=8,
+                      length_buckets=(32, 64), max_content_frames=64,
+                      max_refer_frames=48)
+    tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_bucketed"))
+    assert tr._packers is not None
+    # every bucket pair has a pre-built packed layout
+    assert set(tr._packers) == {(32, 32), (32, 48), (64, 32), (64, 48)}
+    p0 = jax.tree.leaves(jax.tree.map(np.asarray, tr.state.params))[0].copy()
+    tr.train(num_steps=3)
+    assert tr.step == 3
+    p1 = jax.tree.leaves(jax.tree.map(np.asarray, tr.state.params))[0]
+    assert np.isfinite(p1).all()
+    assert not np.array_equal(p0, p1)
+    # the steps dispatched through per-geometry compiled programs
+    assert len(tr._step_fns) >= 1
+    assert all(g in tr._packers for g in tr._step_fns)
+
+
+def test_bucketed_step_reuses_compiled_program(processed_dir, tmp_path):
+    """Two batches of the same geometry must reuse one jitted program
+    (the per-geometry cache, not a retrace)."""
+    from ns2vc_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(processed_dir, tmp_path, train_batch_size=8,
+                      length_buckets=(64,), max_content_frames=64,
+                      max_refer_frames=48)
+    tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_bucketed2"))
+    tr.train(num_steps=2)
+    assert len(tr._step_fns) == 1
+    (fn,) = tr._step_fns.values()
+    assert fn._cache_size() == 1
+
+
+def test_bucketed_training_unpacked(processed_dir, tmp_path):
+    """Buckets with pack_h2d=False: dict batches of varying geometry ride
+    the ordinary shard_batch path and the single jitted step retraces per
+    shape (no per-geometry packers involved)."""
+    from ns2vc_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(processed_dir, tmp_path, train_batch_size=8,
+                      length_buckets=(32, 64), max_content_frames=64,
+                      max_refer_frames=48, pack_h2d=False)
+    tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_bucketed_np"))
+    assert tr._packers is None
+    tr.train(num_steps=2)
+    assert tr.step == 2
+    assert not tr._step_fns  # dispatch stayed on the plain jit path

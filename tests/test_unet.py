@@ -137,6 +137,31 @@ class TestUNetTraining:
         # a remat bug
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
 
+    def test_remat_policy_dots_matches(self):
+        """remat_policy='dots' (save matmul outputs, skip their backward
+        recompute) must be numerics-neutral vs plain, forward and grad."""
+        kw = {k: v for k, v in SMALL.items() if k != "attention_head_dim"}
+        plain = UNet1DConditionModel(**kw, num_attention_heads=4,
+                                     addition_embed_heads=4)
+        dots = UNet1DConditionModel(**kw, num_attention_heads=4,
+                                    addition_embed_heads=4, remat=True,
+                                    remat_policy="dots")
+        rng = jax.random.PRNGKey(1)
+        sample = jax.random.normal(rng, (1, 16, SMALL["in_channels"]))
+        ehs = jax.random.normal(rng, (1, 5, SMALL["cross_attention_dim"]))
+        params = plain.init(rng, sample, jnp.array([5]), ehs)
+
+        def loss(m):
+            return lambda p: jnp.mean(
+                m.apply(p, sample, jnp.array([5]), ehs) ** 2)
+
+        la, ga = jax.value_and_grad(loss(plain))(params)
+        lb, gb = jax.value_and_grad(loss(dots))(params)
+        np.testing.assert_allclose(float(la), float(lb), atol=5e-6)
+        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
+
 
 class TestDualTransformer:
     def test_matches_reference(self, reference_dir):

@@ -47,8 +47,12 @@ class TrainConfig:
     # checkpoint policy when remat is on: "all" recomputes everything in
     # the backward pass (min memory); "dots" saves matmul/conv outputs
     # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) so the
-    # MXU work is never recomputed — more memory, fewer backward FLOPs
-    remat_policy: str = "all"
+    # MXU work is never recomputed — more memory, fewer backward FLOPs.
+    # Default "dots": measured on v5e at the production config (101M
+    # params, batch 32 x 272, bf16) it steps in 62.5 ms vs 74.7 ms for
+    # "all" (1.20x) and matches remat-off speed (62.9 ms) at lower
+    # memory (scripts/bench_training.py --remat {all,dots,off}).
+    remat_policy: str = "dots"
     log_every: int = 100                  # reference model.py:882
     # fixed-shape padded batch geometry (XLA wants few shapes; the reference
     # pads per-batch to max+1, dataset.py:148-153)

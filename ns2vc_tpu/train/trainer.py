@@ -690,6 +690,13 @@ class Trainer:
                 writer.add_scalar("loss/all", loss, step)
                 writer.add_scalar("loss/grad", gn, step)
                 writer.add_scalar("perf/steps_per_sec", sps, step)
+                if geom is not None:
+                    # bucketed runs: which (content, refer) geometry this
+                    # step compiled/ran at — padding-waste observability
+                    writer.add_scalar("perf/bucket_content_frames",
+                                      geom[0], step)
+                    writer.add_scalar("perf/bucket_refer_frames",
+                                      geom[1], step)
                 if "pred" in metrics:
                     writer.add_image(
                         "all/spec", plot_spectrogram_to_numpy(

@@ -79,6 +79,13 @@ def main():
                     help="rematerialization variant: all=recompute "
                     "everything (default), dots=save matmul/conv outputs, "
                     "off=no remat")
+    ap.add_argument("--buckets", action="store_true",
+                    help="enable length_buckets=(144,208,272) and measure "
+                    "the MIXED-geometry device rate: stage real loader "
+                    "batches (each at its bucket pair), chain steps across "
+                    "them through the per-geometry compiled programs, "
+                    "read back once — the realized bucketed throughput on "
+                    "this dataset's length distribution")
     args = ap.parse_args()
 
     import jax
@@ -117,6 +124,10 @@ def main():
             cfg, train=dataclasses.replace(
                 cfg.train, remat=args.remat != "off",
                 remat_policy=args.remat if args.remat != "off" else "all"))
+    if args.buckets:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, length_buckets=(144, 208, 272)))
 
     if args.loader_only:
         from ns2vc_tpu.data.dataset import (
@@ -177,6 +188,48 @@ def main():
             return _jax.device_put(trainer._pack(b),
                                    batch_sharding(trainer.mesh))
         return shard_batch(b, trainer.mesh)
+
+    if args.buckets:
+        # mixed-geometry device rate: stage K real loader batches (each
+        # already grouped+packed at its bucket pair by the workers), warm
+        # every distinct geometry's program once (the compile pass is also
+        # the measured-elsewhere first-round settling), then chain steps
+        # across the staged batches in arrival order and read back once.
+        from ns2vc_tpu.parallel.mesh import batch_sharding
+
+        k = max(args.steps, 24)
+        with trainer.mesh:
+            staged = []
+            for _ in range(k):
+                geom, packed = next(trainer.dl)
+                staged.append((geom, jax.device_put(
+                    packed, batch_sharding(trainer.mesh))))
+            hist: dict = {}
+            for geom, _ in staged:
+                hist[geom] = hist.get(geom, 0) + 1
+            print(f"bucket histogram over {k} batches: {hist}", flush=True)
+            state = trainer.state
+            t0 = time.time()
+            for geom, dev in staged:  # compile + settling pass (untimed)
+                state, m = trainer._get_step_fn(geom)(state, dev,
+                                                      trainer.rng)
+            float(m["loss"])
+            print(f"compile({len(hist)} geometries) + warm pass: "
+                  f"{time.time()-t0:.1f}s", flush=True)
+            t0 = time.time()
+            for geom, dev in staged:
+                state, m = trainer._get_step_fn(geom)(state, dev,
+                                                      trainer.rng)
+            float(m["loss"])  # readback = the only trustworthy sync
+            dt = (time.time() - t0) / k
+        bs = cfg.train.train_batch_size
+        print(json.dumps({
+            "bucketed_device_steps_per_sec": round(1.0 / dt, 2),
+            "bucketed_device_ms_per_step": round(dt * 1e3, 1),
+            "bucketed_device_utts_per_sec": round(bs / dt, 1),
+            "bucket_histogram": {str(kk): v for kk, v in hist.items()},
+        }))
+        return
 
     if not args.skip_device:
         # pure device rate: one staged batch, chained steps, readback sync

@@ -58,15 +58,25 @@ class TrainConfig:
     # pads per-batch to max+1, dataset.py:148-153)
     max_content_frames: int = 272         # >= ceil(400*2/3)+1, divisible by 8
     max_refer_frames: int = 272           # >= ceil(400*2/3)+1, divisible by 8
-    # length-bucketed batching (SURVEY §7.1.6): ascending frame buckets,
-    # each divisible by 8 (UNet T constraint). () = single fixed geometry.
-    # Items are grouped by (content, refer) bucket pair and each batch is
-    # padded to its pair instead of always (max_content, max_refer) —
-    # device step time scales with T, so short-item batches run on
-    # smaller compiled programs. Each distinct pair compiles its own
-    # train-step program (keep the list short; on this image's remote
-    # compile service a production-size step is ~60 s warm per shape).
+    # length-bucketed batching (SURVEY §7.1.6): ascending CONTENT frame
+    # buckets, each divisible by 8 (UNet T constraint). () = single fixed
+    # geometry. Items are grouped by bucket and each batch is padded to
+    # its bucket instead of always max_content_frames — device step time
+    # scales with the content T (the UNet runs over it), so short-item
+    # batches run on smaller compiled programs. Each distinct geometry
+    # compiles its own train-step program AND program alternation has a
+    # measured cost (~3 ms/step on v5e when switching nearly every step),
+    # so keep the list short.
     length_buckets: Tuple[int, ...] = ()
+    # refer-axis buckets. Default () = refer stays at max_refer_frames:
+    # the refer axis only feeds the prompt encoder + cross-KV, so
+    # shrinking it saves little step time but multiplies the program
+    # count (content x refer pairs) and the switching overhead — measured
+    # on v5e: full pair-bucketing LOST 5% vs fixed geometry on a
+    # 400-frame corpus (64.7 vs 61.4 ms/step) while content-only keeps
+    # the content-axis win. Set only for corpora with genuinely short
+    # reference prompts.
+    refer_length_buckets: Tuple[int, ...] = ()
     prefetch_depth: int = 3               # in-flight H2D batch transfers
     pack_h2d: bool = True                 # one uint8 H2D transfer per batch
                                           # (unpacked in-jit); wins on

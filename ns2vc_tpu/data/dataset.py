@@ -266,36 +266,47 @@ class BucketedCollator(FixedShapeCollator):
     with the refer pad length exactly like the reference's per-batch
     padding does."""
 
-    def __init__(self, cfg, buckets, include_wav: bool = True,
-                 float_dtype=np.float32):
+    def __init__(self, cfg, buckets, refer_buckets=(),
+                 include_wav: bool = True, float_dtype=np.float32):
         super().__init__(cfg, include_wav=include_wav,
                          float_dtype=float_dtype)
-        bs = tuple(sorted(dict.fromkeys(int(b) for b in buckets)))
-        assert bs, "BucketedCollator needs at least one bucket"
-        assert all(b % 8 == 0 and b > 0 for b in bs), \
-            f"buckets must be positive multiples of 8 (UNet T % 8): {bs}"
-        self.buckets = bs
 
-    def _fit(self, length: int, cap: int) -> int:
+        def _norm(bk, name):
+            out = tuple(sorted(dict.fromkeys(int(b) for b in bk)))
+            assert all(b % 8 == 0 and b > 0 for b in out), \
+                f"{name} must be positive multiples of 8 (UNet T % 8): {out}"
+            return out
+
+        self.buckets = _norm(buckets, "buckets")
+        assert self.buckets, "BucketedCollator needs at least one bucket"
+        # refer buckets default to the single fixed t_r: the refer axis
+        # only feeds the prompt encoder + cross-KV, so bucketing it
+        # multiplies the compiled-program count (and the measured
+        # program-switching cost) for little step-time gain
+        self.refer_buckets = _norm(refer_buckets, "refer_buckets") \
+            or (self.t_r,)
+
+    @staticmethod
+    def _fit(buckets, length: int, cap: int) -> int:
         """Smallest bucket >= length, clamped to the axis cap (items
         beyond the cap are cropped, matching FixedShapeCollator)."""
         length = min(length, cap)
-        for b in self.buckets:
+        for b in buckets:
             if b >= length:
                 return min(b, cap)
-        return min(self.buckets[-1], cap)
+        return min(buckets[-1], cap)
 
     def bucket_of(self, item) -> tuple[int, int]:
         """(content, refer) geometry for one random_slice output."""
         refer, c = item[0], item[1]
-        return (self._fit(c.shape[1], self.t_c),
-                self._fit(refer.shape[1], self.t_r))
+        return (self._fit(self.buckets, c.shape[1], self.t_c),
+                self._fit(self.refer_buckets, refer.shape[1], self.t_r))
 
     def geometries(self) -> list[tuple[int, int]]:
         """Every (t_c, t_r) pair this collator can emit (for pre-building
         per-geometry packers / warming per-shape compiled steps)."""
         cs = sorted({min(b, self.t_c) for b in self.buckets})
-        rs = sorted({min(b, self.t_r) for b in self.buckets})
+        rs = sorted({min(b, self.t_r) for b in self.refer_buckets})
         return [(tc, tr) for tc in cs for tr in rs]
 
     def __call__(self, batch: list,

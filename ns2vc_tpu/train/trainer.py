@@ -205,8 +205,10 @@ class Trainer:
             from ns2vc_tpu.data.dataset import BucketedCollator
 
             self._collator_cls = lambda **kw: BucketedCollator(
-                self.cfg, t.length_buckets, **kw)
-            probe = BucketedCollator(self.cfg, t.length_buckets)
+                self.cfg, t.length_buckets,
+                refer_buckets=t.refer_length_buckets, **kw)
+            probe = BucketedCollator(self.cfg, t.length_buckets,
+                                     refer_buckets=t.refer_length_buckets)
             self._bucket_geometries = probe.geometries()
         else:
             self._collator_cls = lambda **kw: FixedShapeCollator(

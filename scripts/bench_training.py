@@ -86,6 +86,12 @@ def main():
                     "them through the per-geometry compiled programs, "
                     "read back once — the realized bucketed throughput on "
                     "this dataset's length distribution")
+    ap.add_argument("--staged", action="store_true",
+                    help="like --buckets but at the fixed single geometry: "
+                    "stages K DISTINCT loader batches instead of chaining "
+                    "one reused batch — the apples-to-apples baseline for "
+                    "the --buckets number (a reused staged batch stays "
+                    "HBM-resident and can time optimistically)")
     args = ap.parse_args()
 
     import jax
@@ -189,19 +195,22 @@ def main():
                                    batch_sharding(trainer.mesh))
         return shard_batch(b, trainer.mesh)
 
-    if args.buckets:
+    if args.buckets or args.staged:
         # mixed-geometry device rate: stage K real loader batches (each
         # already grouped+packed at its bucket pair by the workers), warm
         # every distinct geometry's program once (the compile pass is also
         # the measured-elsewhere first-round settling), then chain steps
         # across the staged batches in arrival order and read back once.
+        # --staged does the same at the fixed geometry (the fair baseline).
         from ns2vc_tpu.parallel.mesh import batch_sharding
 
         k = max(args.steps, 24)
         with trainer.mesh:
             staged = []
             for _ in range(k):
-                geom, packed = next(trainer.dl)
+                item = next(trainer.dl)
+                geom, packed = (item if isinstance(item, tuple)
+                                else (None, item))
                 staged.append((geom, jax.device_put(
                     packed, batch_sharding(trainer.mesh))))
             hist: dict = {}

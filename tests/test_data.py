@@ -162,14 +162,36 @@ class TestBucketedCollator:
                                         max_refer_frames=96))
 
     def test_bucket_selection_and_geometry(self):
+        """Default mode: content-only bucketing, refer fixed at t_r (the
+        measured-better operating point — pair bucketing multiplies the
+        compiled-program count for little step-time gain)."""
         from ns2vc_tpu.data.dataset import BucketedCollator
 
         coll = BucketedCollator(self._cfg(), buckets=(48, 96, 160))
-        # smallest bucket that fits, clamped to each axis cap
-        assert coll.bucket_of(_fake_item(30, 30)) == (48, 48)
+        # smallest content bucket that fits; refer pinned to its cap
+        assert coll.bucket_of(_fake_item(30, 30)) == (48, 96)
         assert coll.bucket_of(_fake_item(49, 90)) == (96, 96)
         assert coll.bucket_of(_fake_item(100, 100)) == (160, 96)
         assert coll.bucket_of(_fake_item(500, 500)) == (160, 96)  # cropped
+        geoms = coll.geometries()
+        assert set(geoms) == {(48, 96), (96, 96), (160, 96)}
+
+        batch = coll([_fake_item(30, 30), _fake_item(40, 44, seed=1)])
+        assert batch["c"].shape == (2, 48, 256)
+        assert batch["refer"].shape == (2, 96, 100)
+        assert batch["spec"].shape == (2, 48, 100)
+        assert batch["wav"].shape == (2, 48 * 256)
+        np.testing.assert_array_equal(batch["lengths"], [30, 40])
+
+    def test_refer_bucket_pairing(self):
+        """Opt-in refer_buckets restores per-axis pair bucketing."""
+        from ns2vc_tpu.data.dataset import BucketedCollator
+
+        coll = BucketedCollator(self._cfg(), buckets=(48, 96, 160),
+                                refer_buckets=(48, 96))
+        assert coll.bucket_of(_fake_item(30, 30)) == (48, 48)
+        assert coll.bucket_of(_fake_item(49, 90)) == (96, 96)
+        assert coll.bucket_of(_fake_item(100, 100)) == (160, 96)
         geoms = coll.geometries()
         assert (48, 48) in geoms and (160, 96) in geoms
         assert all(tc <= 160 and tr <= 96 for tc, tr in geoms)
@@ -177,9 +199,6 @@ class TestBucketedCollator:
         batch = coll([_fake_item(30, 30), _fake_item(40, 44, seed=1)])
         assert batch["c"].shape == (2, 48, 256)
         assert batch["refer"].shape == (2, 48, 100)
-        assert batch["spec"].shape == (2, 48, 100)
-        assert batch["wav"].shape == (2, 48 * 256)
-        np.testing.assert_array_equal(batch["lengths"], [30, 40])
 
     def test_rejects_non_multiple_of_8(self):
         from ns2vc_tpu.data.dataset import BucketedCollator

@@ -229,8 +229,9 @@ def test_bucketed_training(processed_dir, tmp_path):
                       max_refer_frames=48)
     tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_bucketed"))
     assert tr._packers is not None
-    # every bucket pair has a pre-built packed layout
-    assert set(tr._packers) == {(32, 32), (32, 48), (64, 32), (64, 48)}
+    # content-only bucketing by default: refer stays at max_refer_frames
+    # (pair bucketing is opt-in via refer_length_buckets — measured worse)
+    assert set(tr._packers) == {(32, 48), (64, 48)}
     p0 = jax.tree.leaves(jax.tree.map(np.asarray, tr.state.params))[0].copy()
     tr.train(num_steps=3)
     assert tr.step == 3

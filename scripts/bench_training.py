@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--e2e_diag", action="store_true",
                     help="per-phase timing: load | H2D | step+sync")
     ap.add_argument("--log_every", type=int, default=1_000_000)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override train_batch_size (default: config's 32) "
+                    "— probes per-chip batch scaling of the device rate "
+                    "and MFU")
     ap.add_argument("--frames", type=int, default=0,
                     help="override the (content, refer) frame geometry — "
                     "measures the per-bucket device rate that "
@@ -119,6 +123,10 @@ def main():
             cfg.train, num_workers=args.num_workers,
             log_every=args.log_every, save_and_sample_every=1_000_000_000),
     )
+    if args.batch:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, train_batch_size=args.batch))
     if args.frames:
         assert args.frames % 8 == 0, "UNet needs T % 8 == 0"
         cfg = dataclasses.replace(

@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--e2e_diag", action="store_true",
                     help="per-phase timing: load | H2D | step+sync")
     ap.add_argument("--log_every", type=int, default=1_000_000)
+    ap.add_argument("--profile_dir", type=str, default="",
+                    help="capture a jax.profiler device trace of the timed "
+                    "device-rate steps (summarize with "
+                    "scripts/profile_summary.py <dir>)")
     ap.add_argument("--batch", type=int, default=0,
                     help="override train_batch_size (default: config's 32) "
                     "— probes per-chip batch scaling of the device rate "
@@ -262,11 +266,17 @@ def main():
             float(m["loss"])
             print(f"compile(step): {time.time()-t0:.1f}s", flush=True)
             n = max(args.steps // 2, 10)
+            if args.profile_dir:
+                jax.profiler.start_trace(args.profile_dir)
             t0 = time.time()
             for _ in range(n):
                 state, m = trainer._step_fn(state, dev, trainer.rng)
             float(m["loss"])  # readback = the only trustworthy sync here
             dt = (time.time() - t0) / n
+            if args.profile_dir:
+                jax.profiler.stop_trace()
+                result["profile_dir"] = args.profile_dir
+                result["profiled_steps"] = n
         result["device_steps_per_sec"] = round(1.0 / dt, 2)
         result["device_ms_per_step"] = round(dt * 1e3, 1)
         try:

@@ -96,21 +96,33 @@ def _load_pb2():
 
 
 def categorize(name: str) -> str:
+    # Classify by the DEFINING instruction only (the text before " = ").
+    # The full xplane op string includes operand references like
+    # "fusion(%copy-done.3, ...)", so substring-matching the whole line
+    # misattributes every consumer of an async copy to the copy category
+    # (measured: that inflated "async copies/slices" from 5% to 55% of a
+    # train step).
+    head = name.split(" = ", 1)[0]
     if "convolution" in name:
         return "convolution"
-    if "copy-start" in name or "copy-done" in name \
-            or "slice-start" in name or "slice-done" in name:
-        return "async copies/slices"
+    if ("copy-start" in head or "copy-done" in head
+            or "copy." in head or head.endswith("copy")):
+        return "async copies"
     if "custom-call" in name and "tpu_custom_call" in name:
         return "pallas kernels"
-    if re.match(r"%dot", name):
+    if re.match(r"%dot", head):
         return "dot (matmul)"
-    if "fusion" in name and re.search(r"\[\d+,\d+,\d+,\d+\]", name):
-        return "attention fusions (4-D)"
-    if "fusion" in name:
+    if "fusion" in head:
+        # classify by the OUTPUT tuple only (text up to the operand list):
+        # any 4-D result marks an attention-probs/softmax fusion
+        outputs = name.split(" fusion(", 1)[0]
+        if re.search(r"\[\d+,\d+,\d+,\d+\]", outputs):
+            return "attention fusions (4-D)"
         return "elementwise/norm fusions"
-    if "dynamic-update-slice" in name or "dynamic-slice" in name:
+    if "dynamic-update-slice" in head or "dynamic-slice" in head:
         return "dynamic slices"
+    if "slice" in head:
+        return "slices"
     return "misc"
 
 

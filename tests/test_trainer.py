@@ -243,6 +243,22 @@ def test_bucketed_training(processed_dir, tmp_path):
     assert all(g in tr._packers for g in tr._step_fns)
 
 
+def test_bucketed_training_refer_buckets(processed_dir, tmp_path):
+    """Opt-in refer_length_buckets builds the full (content x refer)
+    packer product and still trains."""
+    from ns2vc_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(processed_dir, tmp_path, train_batch_size=8,
+                      length_buckets=(32, 64), max_content_frames=64,
+                      max_refer_frames=48,
+                      refer_length_buckets=(32, 48))
+    tr = Trainer(cfg, logs_folder=str(tmp_path / "logs_bucketed_rb"))
+    assert set(tr._packers) == {(32, 32), (32, 48), (64, 32), (64, 48)}
+    tr.train(num_steps=2)
+    assert tr.step == 2
+    assert all(g in tr._packers for g in tr._step_fns)
+
+
 def test_bucketed_step_reuses_compiled_program(processed_dir, tmp_path):
     """Two batches of the same geometry must reuse one jitted program
     (the per-geometry cache, not a retrace)."""

@@ -117,8 +117,7 @@ def main(argv=None):
         mel = unipc_sample(x0_fn, noise, schedule, steps=STEPS)
         return vocos.apply(vparams, mel).astype(jnp.float32)
 
-    # v5e bf16 peak: 197 TFLOP/s per chip (override for other chips)
-    peak_tflops = float(os.environ.get("NS2VC_PEAK_TFLOPS", "197"))
+    from ns2vc_tpu.utils.roofline import compiled_flops, mfu_metrics
 
     def program_flops(b):
         """XLA's own FLOP count of the compiled synthesize program (the
@@ -126,13 +125,10 @@ def main(argv=None):
         remote compile after measure() ran at this batch)."""
         try:
             mb = make_batch(b)
-            compiled = synthesize.lower(
+            return compiled_flops(synthesize.lower(
                 params, vparams, mb["c"], mb["refer"], mb["lengths"],
                 mb["refer_lengths"], jnp.zeros((b, T, 100)),
-                jnp.zeros((b, T * HOP))).compile()
-            ca = compiled.cost_analysis()
-            d = ca[0] if isinstance(ca, (list, tuple)) else ca
-            return float(d["flops"])
+                jnp.zeros((b, T * HOP))).compile())
         except Exception:
             return None
 
@@ -181,10 +177,7 @@ def main(argv=None):
             row = {"batch": b, "ms": round(elapsed * 1e3, 1),
                    "rtf": round(rtf, 1),
                    "ms_per_utt": round(elapsed * 1e3 / b, 2)}
-            flops = program_flops(b)
-            if flops:
-                row["tflops_per_sec"] = round(flops / elapsed / 1e12, 1)
-                row["mfu"] = round(flops / elapsed / (peak_tflops * 1e12), 3)
+            row.update(mfu_metrics(program_flops(b), elapsed))
             print(json.dumps(row), flush=True)
         return
 
@@ -198,11 +191,8 @@ def main(argv=None):
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 200.0, 3),
     }
-    flops = program_flops(B)
-    if flops:
-        # roofline position: achieved TFLOP/s and fraction of chip peak
-        result["tflops_per_sec"] = round(flops / elapsed / 1e12, 1)
-        result["mfu"] = round(flops / elapsed / (peak_tflops * 1e12), 3)
+    # roofline position: achieved TFLOP/s and fraction of chip peak
+    result.update(mfu_metrics(program_flops(B), elapsed))
     if not args_cli.skip_single_clip:
         # single-clip latency (B=1, T=400): the interactive-use number —
         # same compiled program shape as Svc's jitted per-bucket path

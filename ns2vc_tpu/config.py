@@ -33,7 +33,10 @@ class TrainConfig:
     logs_folder: str = "logs/vc"
     eps: float = 1e-9
     keep_ckpts: int = 3
-    num_workers: int = 8
+    num_workers: int = -1  # loader processes; -1 = auto (0 on <=2-CPU
+                           # hosts where the pool loses to serial loading
+                           # — measured — else 8); explicit values are
+                           # honored as-is
     all_in_mem: bool = False
     # reference NaturalSpeech2 constructor options (model.py:446-449,
     # 493-498): clamp the SNR loss weight at min_snr_gamma when enabled

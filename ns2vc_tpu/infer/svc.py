@@ -280,6 +280,17 @@ class Svc:
         r_in[0, :tp_len] = refer_mel
 
         use_f0 = f0 is not None and self.cfg.f0_predictor.enabled
+        if self.cfg.f0_predictor.enabled and f0 is None:
+            # even auto_predict_f0 needs the source f0: the predictor
+            # consumes the normalized source contour (reference
+            # model.py:605-608 passes f0 on every path) — dropping it
+            # silently would synthesize with no F0 conditioning at all
+            raise ValueError(
+                "this checkpoint has f0_predictor.enabled: pass f0 (and "
+                "uv) — e.g. from Svc.compute_features — on every "
+                "inference call; auto_predict_f0 only switches the "
+                "embedding to the predicted contour, it does not remove "
+                "the need for the source f0")
         f0_in = uv_in = None
         if use_f0:
             f0_in = np.zeros((1, t_pad), np.float32)
@@ -328,6 +339,13 @@ class Svc:
         r_in[:, :tp_len] = refer_mel[None]
 
         use_f0 = f0s is not None and self.cfg.f0_predictor.enabled
+        if self.cfg.f0_predictor.enabled and f0s is None:
+            raise ValueError(
+                "this checkpoint has f0_predictor.enabled: pass per-clip "
+                "f0s (and uvs) — e.g. from Svc.compute_features — on "
+                "every inference call; auto_predict_f0 only switches the "
+                "embedding to the predicted contour, it does not remove "
+                "the need for the source f0")
         f0_in = uv_in = None
         if use_f0:
             if len(f0s) != n:

@@ -19,6 +19,8 @@ shapes) instead of a mutable per-module dict.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -85,11 +87,12 @@ FLASH_MIN_KEYS = 2048
 # costing more than the avoided spill). Set NS2VC_FLASH_PROBS_MB to
 # re-enable for experiments; B=16/chip stays the roofline-sane operating
 # point, scale batch over the mesh instead.
-import os as _os
-
-_probs_mb = _os.environ.get("NS2VC_FLASH_PROBS_MB")
-FLASH_PROBS_BYTES = (int(_probs_mb) * 1024 * 1024 if _probs_mb
-                     else None)
+def _flash_probs_bytes() -> int | None:
+    """Read NS2VC_FLASH_PROBS_MB at CALL time (like NS2VC_ATTN_IMPL), so
+    setting the experiment knob after this module is imported — it is
+    pulled in transitively by every entry point — still takes effect."""
+    probs_mb = os.environ.get("NS2VC_FLASH_PROBS_MB")
+    return int(probs_mb) * 1024 * 1024 if probs_mb else None
 
 
 def _key_padding_bias(bias: jnp.ndarray | None) -> bool:
@@ -113,21 +116,20 @@ def multihead_attention(
     kernel; requires bias=None or key-padding-only bias), or 'auto'
     (default) which picks 'pallas' on TPU past FLASH_MIN_KEYS keys OR when
     the would-be f32 probs tensor reaches the VMEM-spill regime
-    (FLASH_PROBS_BYTES — large batch x short T). `NS2VC_ATTN_IMPL` in the
-    env overrides 'auto' for experiments."""
+    (NS2VC_FLASH_PROBS_MB — large batch x short T). `NS2VC_ATTN_IMPL` in
+    the env overrides 'auto' for experiments."""
     if attn_impl == "auto":
-        import os
-
         forced = os.environ.get("NS2VC_ATTN_IMPL")
         on_tpu = jax.default_backend() != "cpu"
         probs_bytes = q.shape[0] * num_heads * q.shape[1] * k.shape[1] * 4
         # probs-footprint route: off unless NS2VC_FLASH_PROBS_MB is set
-        # (see FLASH_PROBS_BYTES above for the measured end-to-end loss);
-        # when enabled it is gated to sub-f32 inputs (f32 XLA keeps
-        # winning even the isolated comparison, e.g. 6.6 vs 7.2 ms at
-        # B=48)
-        spill = (FLASH_PROBS_BYTES is not None
-                 and probs_bytes >= FLASH_PROBS_BYTES
+        # (see _flash_probs_bytes above for the measured end-to-end
+        # loss); when enabled it is gated to sub-f32 inputs (f32 XLA
+        # keeps winning even the isolated comparison, e.g. 6.6 vs 7.2 ms
+        # at B=48)
+        flash_probs_bytes = _flash_probs_bytes()
+        spill = (flash_probs_bytes is not None
+                 and probs_bytes >= flash_probs_bytes
                  and q.dtype != jnp.float32)
         if forced in ("xla", "pallas"):
             attn_impl = forced

@@ -204,6 +204,18 @@ class Trainer:
         if t.length_buckets:
             from ns2vc_tpu.data.dataset import BucketedCollator
 
+            if jax.process_count() > 1:
+                # each host's loader fills buckets from its own disjoint
+                # epoch shard, so hosts would dispatch DIFFERENT compiled
+                # step programs at the same step and the gradient
+                # all-reduce would deadlock — fail loudly until a
+                # cross-host synchronized geometry schedule exists
+                raise ValueError(
+                    "length_buckets is single-host only: per-host loaders "
+                    "pick batch geometries independently, which diverges "
+                    "the compiled step program across processes and "
+                    "deadlocks the collective. Use the fixed geometry "
+                    "(length_buckets=()) for multi-host runs.")
             self._collator_cls = lambda **kw: BucketedCollator(
                 self.cfg, t.length_buckets,
                 refer_buckets=t.refer_length_buckets, **kw)
@@ -211,6 +223,11 @@ class Trainer:
                                      refer_buckets=t.refer_length_buckets)
             self._bucket_geometries = probe.geometries()
         else:
+            if t.refer_length_buckets:
+                raise ValueError(
+                    "refer_length_buckets is set but length_buckets is "
+                    "empty — refer-axis buckets only apply on top of "
+                    "content bucketing; set train.length_buckets too.")
             self._collator_cls = lambda **kw: FixedShapeCollator(
                 self.cfg, **kw)
 
@@ -247,13 +264,16 @@ class Trainer:
             import ml_dtypes
 
             collate_dtype = ml_dtypes.bfloat16
-        # worker heuristic: on a single-core host the IPC + scheduling
-        # overhead of a process pool exceeds the ~50 ms serial batch cost
-        # (measured: 0 workers 20 batches/s vs 8 workers 5.5 on 1 core) —
-        # load synchronously there; multi-core hosts get the pool
-        n_workers = min(t.num_workers, 8)
-        if (os.cpu_count() or 1) <= 2:
-            n_workers = 0
+        # worker default ("auto", num_workers < 0): on a single-core host
+        # the IPC + scheduling overhead of a process pool exceeds the
+        # ~50 ms serial batch cost (measured: 0 workers 20 batches/s vs
+        # 8 workers 5.5 on 1 core) — load synchronously there; multi-core
+        # hosts get an 8-process pool. An EXPLICIT num_workers >= 0 is
+        # honored as-is (no silent CPU-count override).
+        if t.num_workers < 0:
+            n_workers = 0 if (os.cpu_count() or 1) <= 2 else 8
+        else:
+            n_workers = t.num_workers
         self.dl = data_loader(
             ds, self._collator_cls(include_wav=False,
                                    float_dtype=collate_dtype),

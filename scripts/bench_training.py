@@ -61,7 +61,9 @@ def main():
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--data_dir", type=str, default="/tmp/ns2vc_bench_data")
-    ap.add_argument("--num_workers", type=int, default=8)
+    ap.add_argument("--num_workers", type=int, default=-1,
+                    help="-1 = auto (0 on <=2-CPU hosts, else 8), "
+                    "matching TrainConfig.num_workers")
     ap.add_argument("--device_only", action="store_true")
     ap.add_argument("--skip_device", action="store_true")
     ap.add_argument("--loader_only", action="store_true",
@@ -167,13 +169,16 @@ def main():
 
                 collate_dtype = ml_dtypes.bfloat16
 
+        n_workers = args.num_workers
+        if n_workers < 0:  # trainer's auto rule
+            n_workers = 0 if (os.cpu_count() or 1) <= 2 else 8
         ds = VCDataset(args.data_dir, cfg, seed=0,
                        load_audio=args.no_pack)
         dl = data_loader(ds,
                          FixedShapeCollator(cfg, include_wav=args.no_pack,
                                             float_dtype=collate_dtype),
                          cfg.train.train_batch_size, seed=0,
-                         num_workers=args.num_workers, transform=transform)
+                         num_workers=n_workers, transform=transform)
         for _ in range(8):
             next(dl)  # warm the worker pool
         n = 60
@@ -282,16 +287,14 @@ def main():
         try:
             # roofline position (VERDICT round-2 #6): XLA's FLOP count of
             # the compiled train step / measured step time / chip peak
+            from ns2vc_tpu.utils.roofline import compiled_flops, mfu_metrics
+
             compiled = (trainer._step_fn
                         if hasattr(trainer._step_fn, "cost_analysis")
                         else trainer._step_fn.lower(
                             trainer.state, dev, trainer.rng).compile())
-            ca = compiled.cost_analysis()
-            d = ca[0] if isinstance(ca, (list, tuple)) else ca
-            flops = float(d["flops"])
-            peak = float(os.environ.get("NS2VC_PEAK_TFLOPS", "197")) * 1e12
-            result["train_tflops_per_sec"] = round(flops / dt / 1e12, 1)
-            result["train_mfu"] = round(flops / dt / peak, 3)
+            result.update(mfu_metrics(compiled_flops(compiled), dt,
+                                      prefix="train_"))
         except Exception as e:
             result["train_mfu_error"] = str(e)[:120]
         trainer.state = state

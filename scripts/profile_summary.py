@@ -103,7 +103,8 @@ def categorize(name: str) -> str:
     # (measured: that inflated "async copies/slices" from 5% to 55% of a
     # train step).
     head = name.split(" = ", 1)[0]
-    if "convolution" in name:
+    if "convolution" in head or re.search(r"fusion\.\d+\.convolution",
+                                          head):
         return "convolution"
     if ("copy-start" in head or "copy-done" in head
             or "copy." in head or head.endswith("copy")):

@@ -303,6 +303,22 @@ class TestF0Conditioning:
         assert seen["auto_predict_f0"] is True
         assert seen["f0"] is not None and seen["uv"] is not None
 
+    def test_missing_f0_on_enabled_checkpoint_raises(self, svc_f0):
+        """An f0_predictor.enabled checkpoint must not silently synthesize
+        without F0 conditioning (the reference passes f0 on every path,
+        model.py:605-608) — even auto_predict_f0 needs the source contour
+        for the predictor input."""
+        rng = np.random.default_rng(9)
+        c = rng.standard_normal((40, 256)).astype(np.float32)
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        with pytest.raises(ValueError, match="f0_predictor.enabled"):
+            svc_f0.infer_from_features(c, refer, sampling_timesteps=4)
+        with pytest.raises(ValueError, match="f0_predictor.enabled"):
+            svc_f0.infer_from_features(c, refer, sampling_timesteps=4,
+                                       auto_predict_f0=True)
+        with pytest.raises(ValueError, match="f0_predictor.enabled"):
+            svc_f0.infer_batch([c], refer, sampling_timesteps=4)
+
     def test_auto_predict_f0_differs(self, svc_f0):
         rng = np.random.default_rng(1)
         c = rng.standard_normal((40, 256)).astype(np.float32)

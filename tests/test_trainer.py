@@ -243,6 +243,19 @@ def test_bucketed_training(processed_dir, tmp_path):
     assert all(g in tr._packers for g in tr._step_fns)
 
 
+def test_refer_buckets_without_content_buckets_rejected(processed_dir,
+                                                        tmp_path):
+    """refer_length_buckets only applies on top of content bucketing —
+    setting it alone must fail loudly, not be silently dropped."""
+    from ns2vc_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(processed_dir, tmp_path, train_batch_size=8,
+                      refer_length_buckets=(32, 48),
+                      max_content_frames=64, max_refer_frames=48)
+    with pytest.raises(ValueError, match="refer_length_buckets"):
+        Trainer(cfg, logs_folder=str(tmp_path / "logs_rb_reject"))
+
+
 def test_bucketed_training_refer_buckets(processed_dir, tmp_path):
     """Opt-in refer_length_buckets builds the full (content x refer)
     packer product and still trains."""

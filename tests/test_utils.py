@@ -46,6 +46,39 @@ def make_tiny_crepe_sd(seed: int = 0) -> dict:
     return sd
 
 
+def torch_crepe_oracle(sd_np: dict, frames: np.ndarray) -> np.ndarray:
+    """The single torch reference forward for CREPE (Kim et al. 2018):
+    pad -> conv -> relu -> BN(eval) -> maxpool(2,1) x6, time-major
+    flatten, sigmoid classifier. Shared by test_torch_oracle_parity and
+    scripts/make_crepe_golden.py so the committed golden and the live
+    parity test can never validate two silently different oracles."""
+    import torch
+    import torch.nn.functional as F
+
+    from ns2vc_tpu.features.crepe import TINY_FILTERS
+
+    with torch.no_grad():
+        x = torch.from_numpy(frames)[:, None, :, None]  # (N,1,1024,1)
+        for i in range(len(TINY_FILTERS)):
+            p = f"conv{i + 1}"
+            x = F.pad(x, (0, 0, 254, 254) if i == 0 else (0, 0, 31, 32))
+            x = F.conv2d(x, torch.from_numpy(sd_np[f"{p}.weight"]),
+                         torch.from_numpy(sd_np[f"{p}.bias"]),
+                         (4, 1) if i == 0 else (1, 1))
+            x = F.relu(x)
+            x = F.batch_norm(
+                x, torch.from_numpy(sd_np[f"{p}_BN.running_mean"]),
+                torch.from_numpy(sd_np[f"{p}_BN.running_var"]),
+                torch.from_numpy(sd_np[f"{p}_BN.weight"]),
+                torch.from_numpy(sd_np[f"{p}_BN.bias"]),
+                training=False, eps=1e-5)
+            x = F.max_pool2d(x, (2, 1), (2, 1))
+        x = x.permute(0, 2, 1, 3).reshape(x.shape[0], -1)
+        return torch.sigmoid(F.linear(
+            x, torch.from_numpy(sd_np["classifier.weight"]),
+            torch.from_numpy(sd_np["classifier.bias"]))).numpy()
+
+
 class TestMixModels:
     def test_weighted_mix(self):
         a = {"w": jnp.ones((2, 2)), "b": jnp.zeros(2)}
@@ -175,45 +208,20 @@ class TestCrepe:
             convert_torchcrepe(sd, model="tiny")
 
     def test_torch_oracle_parity(self):
-        """Independent torch implementation of the published CREPE
-        architecture (Kim et al. 2018; torchcrepe's forward is
-        pad -> conv -> relu -> BN(eval) -> maxpool(2,1) x6, time-major
-        flatten, sigmoid classifier) as the numeric oracle for the JAX
-        model + converter. torchcrepe itself (and its weights) are not
-        installable in this image (reference utils.py:82-94), so
-        cross-implementation agreement + the committed golden below stand
-        in for real-weight goldens (VERDICT round-2 #10)."""
-        torch = pytest.importorskip("torch")
-        import torch.nn.functional as F
-
-        from ns2vc_tpu.features.crepe import (
-            Crepe, TINY_FILTERS, convert_torchcrepe,
-        )
+        """torch_crepe_oracle (the independent torch implementation of the
+        published CREPE architecture, Kim et al. 2018) as the numeric
+        oracle for the JAX model + converter. torchcrepe itself (and its
+        weights) are not installable in this image (reference
+        utils.py:82-94), so cross-implementation agreement + the committed
+        golden below stand in for real-weight goldens (VERDICT round-2
+        #10)."""
+        pytest.importorskip("torch")
+        from ns2vc_tpu.features.crepe import Crepe, convert_torchcrepe
 
         sd_np = make_tiny_crepe_sd()
         frames = np.random.default_rng(1).standard_normal(
             (4, 1024)).astype(np.float32)
-
-        with torch.no_grad():
-            x = torch.from_numpy(frames)[:, None, :, None]  # (N,1,1024,1)
-            for i in range(len(TINY_FILTERS)):
-                p = f"conv{i + 1}"
-                x = F.pad(x, (0, 0, 254, 254) if i == 0 else (0, 0, 31, 32))
-                x = F.conv2d(x, torch.from_numpy(sd_np[f"{p}.weight"]),
-                             torch.from_numpy(sd_np[f"{p}.bias"]),
-                             (4, 1) if i == 0 else (1, 1))
-                x = F.relu(x)
-                x = F.batch_norm(
-                    x, torch.from_numpy(sd_np[f"{p}_BN.running_mean"]),
-                    torch.from_numpy(sd_np[f"{p}_BN.running_var"]),
-                    torch.from_numpy(sd_np[f"{p}_BN.weight"]),
-                    torch.from_numpy(sd_np[f"{p}_BN.bias"]),
-                    training=False, eps=1e-5)
-                x = F.max_pool2d(x, (2, 1), (2, 1))
-            x = x.permute(0, 2, 1, 3).reshape(x.shape[0], -1)
-            want = torch.sigmoid(F.linear(
-                x, torch.from_numpy(sd_np["classifier.weight"]),
-                torch.from_numpy(sd_np["classifier.bias"]))).numpy()
+        want = torch_crepe_oracle(sd_np, frames)
 
         got = np.asarray(Crepe(model="tiny").apply(
             convert_torchcrepe(sd_np, model="tiny"), jnp.asarray(frames)))

@@ -119,7 +119,25 @@ def categorize(name: str) -> str:
         outputs = name.split(" fusion(", 1)[0]
         if re.search(r"\[\d+,\d+,\d+,\d+\]", outputs):
             return "attention fusions (4-D)"
-        return "elementwise/norm fusions"
+        # a rank-2 operand with both dims >= 128 is a weight matrix: the
+        # fusion is an XLA output-fusion AROUND A DOT (e.g. the UNet FF
+        # family: GEGLU elementwise -> down-proj dot -> bias+residual
+        # adds, fused as one `add_add_fusion`). Round-3 finding: these
+        # are 74 of the "100 ms elementwise" in the B=16 synth profile —
+        # the program is matmul-output-fusion bound, not pure-elementwise
+        # bound. (>= 128 keeps (B, C) FiLM broadcasts, B <= 64, out.)
+        operands = name.split(" fusion(", 1)[1] if " fusion(" in name else ""
+        if any(int(a) >= 128 and int(b) >= 128
+               for a, b in re.findall(r"\[(\d+),(\d+)\]\{", operands)):
+            return "dot output-fusions"
+        # rank-2 OUTPUT with both dims >= 128 = a weight-gradient dot
+        # (dL/dW: two rank-3 operands contracted over batch*time)
+        if any(int(a) >= 128 and int(b) >= 128
+               for a, b in re.findall(r"\[(\d+),(\d+)\]\{", outputs)):
+            return "dot output-fusions"
+        if "reduce" in head:
+            return "norm-stat reduce fusions"
+        return "elementwise fusions"
     if "dynamic-update-slice" in head or "dynamic-slice" in head:
         return "dynamic slices"
     if "slice" in head:

@@ -64,6 +64,26 @@ def main(argv=None):
     ap.add_argument("--skip_single_clip", action="store_true")
     args_cli = ap.parse_args(argv)
 
+    # The driver records this script's output as the round's headline
+    # number. If the axon TPU plugin fails to initialize (flaky tunnel —
+    # observed UNAVAILABLE outages), JAX_PLATFORMS="axon,cpu" silently
+    # falls back to the CPU backend and the bench would report a
+    # meaningless CPU RTF. Self-restart a few times, then refuse.
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("NS2VC_ALLOW_CPU_BENCH") != "1"):
+        import sys
+
+        tries = int(os.environ.get("NS2VC_BENCH_RETRY", "0"))
+        if tries < 4:
+            print(f"TPU backend unavailable; retry {tries + 1}/4 in 120 s",
+                  file=sys.stderr, flush=True)
+            time.sleep(120)
+            os.environ["NS2VC_BENCH_RETRY"] = str(tries + 1)
+            os.execve(sys.executable, [sys.executable] + sys.argv,
+                      os.environ)
+        sys.exit("TPU backend unavailable after retries; refusing to "
+                 "report a CPU number (NS2VC_ALLOW_CPU_BENCH=1 overrides)")
+
     B, T, TP, STEPS = args_cli.batch, 400, 272, 50
     SR, HOP = 24000, 256
 

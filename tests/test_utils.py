@@ -245,3 +245,76 @@ class TestCrepe:
             convert_torchcrepe(sd_np, model="tiny"), jnp.asarray(frames)))
         np.testing.assert_allclose(got, golden["probs"], atol=5e-5,
                                    rtol=1e-3)
+
+
+class TestProfileSummaryCategorize:
+    """scripts/profile_summary.py::categorize — classification rules for
+    xplane HLO op strings, with samples lifted from real v5e traces. The
+    reference has no profiling tooling at all (SURVEY §5); two rounds of
+    misattribution bugs (operand-text matching, dot-in-fusion hiding under
+    "elementwise") motivate pinning the rules."""
+
+    @pytest.fixture(scope="class")
+    def categorize(self):
+        import importlib.util
+
+        path = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "scripts", "profile_summary.py")
+        spec = importlib.util.spec_from_file_location("ps_mod", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.categorize
+
+    def test_attention_probs_fusion(self, categorize):
+        name = ("%fusion.18743 = (f32[16,8,400]{2,1,0:T(8,128)S(1)}, "
+                "f32[16,8,400,400]{2,3,1,0:T(8,128)S(1)}) fusion("
+                "bf16[16,8,400,16]{2,3,1,0:T(8,128)(2,1)S(1)} %bitcast.7020)")
+        assert categorize(name) == "attention fusions (4-D)"
+
+    def test_dot_output_fusion_weight_operand(self, categorize):
+        # the UNet FF family: GEGLU -> down-proj dot -> residual adds
+        name = ("%add_add_fusion.134 = bf16[16,200,256]{2,1,0:T(8,128)(2,1)"
+                "S(1)} fusion(bf16[16,200,256]{2,1,0} %gte.21269, "
+                "bf16[16,200,2048]{2,1,0} %convolution_add_fusion.552, "
+                "bf16[256]{0:T(256)} %copy-done.1851, "
+                "bf16[1024,256]{1,0:T(8,128)(2,1)} %copy-done.193)")
+        assert categorize(name) == "dot output-fusions"
+
+    def test_weight_grad_fusion_rank2_output(self, categorize):
+        name = ("%fusion.900 = bf16[1024,256]{1,0:T(8,128)(2,1)} fusion("
+                "bf16[32,272,256]{2,0,1} %gte.1, bf16[32,272,1024]{2,0,1} "
+                "%gte.2)")
+        assert categorize(name) == "dot output-fusions"
+
+    def test_film_broadcast_stays_elementwise(self, categorize):
+        # (B, C) time-embedding FiLM operand is an activation, not a weight
+        name = ("%broadcast_multiply_fusion.7 = bf16[16,400,512]{2,1,0} "
+                "fusion(bf16[16,512]{1,0} %gte.3, bf16[16,400,512]{2,1,0} "
+                "%gte.4)")
+        assert categorize(name) == "elementwise fusions"
+
+    def test_norm_stat_reduce(self, categorize):
+        name = ("%convert_reduce_fusion.5 = (f32[16,8]{1,0:T(8,128)}, "
+                "f32[16,8]{1,0:T(8,128)}) fusion(bf16[16,400,128]{2,1,0} "
+                "%gte.9)")
+        assert categorize(name) == "norm-stat reduce fusions"
+
+    def test_defining_op_not_operand_text(self, categorize):
+        # regression for the round-3 fix: a fusion CONSUMING a copy-done
+        # or convolution operand is not itself a copy/conv
+        name = ("%multiply_subtract_fusion.2 = bf16[16,400,128]{2,1,0} "
+                "fusion(bf16[16,400,128]{2,1,0} %copy-done.77, "
+                "bf16[16,400,128]{2,1,0} %convolution.8)")
+        assert categorize(name) == "elementwise fusions"
+
+    def test_leaf_categories(self, categorize):
+        assert categorize(
+            "%convolution_add_fusion.543 = bf16[16,100,3072]{2,1,0} "
+            "fusion(bf16[3072]{0} %p0)") == "convolution"
+        assert categorize("%copy-done.3 = bf16[16,400,128]{1,2,0} "
+                          "copy-done(%copy-start.3)") == "async copies"
+        assert categorize("%dot.5 = f32[400,400]{1,0} dot(%a, %b)"
+                          ) == "dot (matmul)"
+        assert categorize(
+            "%custom-call.2 = bf16[8,8,512,32]{3,2,1,0} custom-call(%q), "
+            "custom_call_target=\"tpu_custom_call\"") == "pallas kernels"

@@ -1,0 +1,168 @@
+"""MicroBatcher (infer/serve.py) — request batching semantics with a fake
+inference backend, plus one integration dispatch through a real tiny Svc.
+
+The reference serves one clip per call (infer_tool.py:189-206); the
+batcher is the TPU-side throughput lever (B=16 operating point), so the
+tests pin: grouping up to max_batch, flush on age, per-bucket geometry
+isolation, order/result mapping, mixed-f0 zero-fill, error propagation,
+and close() draining.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ns2vc_tpu.infer.serve import MicroBatcher
+
+
+class FakeSvc:
+    """Records every dispatched batch; returns per-clip identifiable
+    waveforms (first content value echoed)."""
+
+    def __init__(self, delay_s: float = 0.0, fail: bool = False):
+        self.calls = []
+        self.delay_s = delay_s
+        self.fail = fail
+        self.lock = threading.Lock()
+
+    def infer_batch(self, clips, refer_mel, f0s=None, uvs=None, **kw):
+        with self.lock:
+            self.calls.append({"sizes": [c.shape[0] for c in clips],
+                               "f0s": f0s, "kw": kw})
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        if self.fail:
+            raise RuntimeError("backend exploded")
+        return [np.full(c.shape[0] * 4, c[0, 0], np.float32) for c in clips]
+
+
+def make_clip(t, value=1.0):
+    return np.full((t, 256), value, np.float32)
+
+
+REFER = np.zeros((80, 100), np.float32)
+
+
+class TestMicroBatcher:
+    def test_groups_into_one_batch(self):
+        svc = FakeSvc(delay_s=0.05)
+        with MicroBatcher(svc, REFER, max_batch=8, flush_ms=200) as mb:
+            futs = [mb.submit(make_clip(100, i)) for i in range(8)]
+            outs = [f.result(timeout=10) for f in futs]
+        assert len(svc.calls) == 1
+        assert svc.calls[0]["sizes"] == [100] * 8
+        for i, out in enumerate(outs):  # order preserved
+            assert out.shape == (400,) and out[0] == i
+
+    def test_flush_on_age_under_low_load(self):
+        svc = FakeSvc()
+        with MicroBatcher(svc, REFER, max_batch=16, flush_ms=30) as mb:
+            fut = mb.submit(make_clip(64))
+            out = fut.result(timeout=10)  # dispatched alone after ~30 ms
+        assert out.shape == (256,)
+        assert len(svc.calls) == 1 and svc.calls[0]["sizes"] == [64]
+
+    def test_buckets_are_isolated(self):
+        # a 40-frame and a 500-frame clip must not share a padded geometry
+        svc = FakeSvc()
+        with MicroBatcher(svc, REFER, max_batch=2, flush_ms=20) as mb:
+            f1 = mb.submit(make_clip(40, 1.0))
+            f2 = mb.submit(make_clip(500, 2.0))
+            r1, r2 = f1.result(timeout=10), f2.result(timeout=10)
+        assert sorted(c["sizes"][0] for c in svc.calls) == [40, 500]
+        assert len(svc.calls) == 2
+        assert r1[0] == 1.0 and r2[0] == 2.0
+
+    def test_max_batch_splits(self):
+        svc = FakeSvc(delay_s=0.05)
+        with MicroBatcher(svc, REFER, max_batch=4, flush_ms=500) as mb:
+            futs = [mb.submit(make_clip(100, i)) for i in range(10)]
+            outs = [f.result(timeout=10) for f in futs]
+        sizes = sorted(len(c["sizes"]) for c in svc.calls)
+        assert sum(sizes) == 10 and max(sizes) <= 4
+        assert [o[0] for o in outs] == list(range(10))
+
+    def test_mixed_f0_zero_fill(self):
+        svc = FakeSvc()
+        with MicroBatcher(svc, REFER, max_batch=2, flush_ms=200) as mb:
+            f1 = mb.submit(make_clip(100, 1.0), f0=np.full(100, 220.0))
+            f2 = mb.submit(make_clip(100, 2.0))  # no f0
+            f1.result(timeout=10), f2.result(timeout=10)
+        (call,) = svc.calls
+        assert call["f0s"] is not None and len(call["f0s"]) == 2
+        assert call["f0s"][0][0] == 220.0
+        assert np.all(call["f0s"][1] == 0.0)
+
+    def test_error_propagates_to_every_future(self):
+        svc = FakeSvc(fail=True)
+        with MicroBatcher(svc, REFER, max_batch=2, flush_ms=50) as mb:
+            futs = [mb.submit(make_clip(100)) for _ in range(2)]
+            for f in futs:
+                with pytest.raises(RuntimeError, match="backend exploded"):
+                    f.result(timeout=10)
+
+    def test_close_drains_pending(self):
+        svc = FakeSvc()
+        mb = MicroBatcher(svc, REFER, max_batch=16, flush_ms=10_000)
+        futs = [mb.submit(make_clip(100, i)) for i in range(3)]
+        mb.close(timeout=10)  # flush without waiting 10 s
+        assert [f.result(timeout=0)[0] for f in futs] == [0, 1, 2]
+        with pytest.raises(RuntimeError, match="closed"):
+            mb.submit(make_clip(100))
+
+    def test_infer_kwargs_forwarded(self):
+        svc = FakeSvc()
+        with MicroBatcher(svc, REFER, max_batch=1, flush_ms=50,
+                          sampling_timesteps=7, sample_method="ddim") as mb:
+            mb.submit(make_clip(64)).result(timeout=10)
+        assert svc.calls[0]["kw"] == {"sampling_timesteps": 7,
+                                      "sample_method": "ddim"}
+
+
+def test_integration_real_svc():
+    """One real dispatch through Svc.infer_batch on the tiny model: two
+    concurrent submissions come back as one batch of correct waveforms."""
+    import jax
+    import jax.numpy as jnp
+
+    from ns2vc_tpu.config import (
+        Config, DiffusionEncoderConfig, EncoderConfig,
+    )
+    from ns2vc_tpu.infer.svc import Svc
+    from ns2vc_tpu.models.diffusion import NaturalSpeech2
+    from ns2vc_tpu.models.vocos import Vocos
+
+    cfg = Config(
+        phoneme_encoder=EncoderConfig(n_layers=1),
+        prompt_encoder=EncoderConfig(in_channels=100, n_layers=1),
+        diffusion_encoder=DiffusionEncoderConfig(
+            block_out_channels=(16, 24, 32, 40)))
+    rng = jax.random.PRNGKey(0)
+    model = NaturalSpeech2(cfg)
+    batch = {
+        "c": jnp.zeros((1, 16, 256)), "refer": jnp.zeros((1, 16, 100)),
+        "spec": jnp.zeros((1, 16, 100)), "lengths": jnp.array([16]),
+        "refer_lengths": jnp.array([16]),
+    }
+    params = model.init(rng, batch, rng)
+    vocos = Vocos(dim=32, intermediate_dim=48, num_layers=1)
+    v_params = vocos.init(rng, jnp.zeros((1, 100, 8)))
+    svc = Svc(config=cfg, params=params, contentvec_ckpt="",
+              vocos_params=v_params)
+    svc.vocos = vocos
+    hop = cfg.data.hop_length
+    refer = np.random.default_rng(0).standard_normal((24, cfg.data.n_mels)
+                                                     ).astype(np.float32)
+    clip = np.random.default_rng(1).standard_normal((32, 256)
+                                                    ).astype(np.float32)
+    with MicroBatcher(svc, refer, max_batch=2, flush_ms=5_000,
+                      sampling_timesteps=4) as mb:
+        f1 = mb.submit(clip)
+        f2 = mb.submit(clip * 0.5)
+        out1, out2 = f1.result(timeout=300), f2.result(timeout=300)
+    assert out1.shape == (32 * hop,) and out2.shape == (32 * hop,)
+    assert np.all(np.isfinite(out1)) and np.all(np.isfinite(out2))

@@ -230,3 +230,58 @@ class TestMultiHostInit:
         for p, out in zip(procs, outs):
             assert p.returncode == 0, out[-2000:]
             assert "TOTAL 10.0" in out  # 1+2+3+4 across both processes
+
+
+class TestShardedInference:
+    """The serving scale-out claim (README/CLAUDE.md: "B=16 per chip,
+    scale batch over the mesh") — the full synthesize program must run
+    with the batch sharded over the data axis and match the replicated
+    result (pure data parallelism: no cross-example ops anywhere in
+    encode + sampler scan; tolerance is rounding-only — the partitioned
+    program fuses differently)."""
+
+    def test_generate_mel_batch_sharded_matches_replicated(self):
+        from ns2vc_tpu.config import (
+            DiffusionEncoderConfig, EncoderConfig,
+        )
+        from ns2vc_tpu.models.diffusion import generate_mel
+
+        cfg = Config(
+            phoneme_encoder=EncoderConfig(n_layers=1),
+            prompt_encoder=EncoderConfig(in_channels=100, n_layers=1),
+            diffusion_encoder=DiffusionEncoderConfig(
+                block_out_channels=(16, 24, 32, 40)))
+        model = NaturalSpeech2(cfg)
+        rng = jax.random.PRNGKey(0)
+        b, t, tp = 8, 16, 16
+        batch = {
+            "c": jax.random.normal(rng, (b, t, 256)) * 0.1,
+            "refer": jax.random.normal(jax.random.fold_in(rng, 1),
+                                       (b, tp, 100)),
+            "spec": jnp.zeros((b, t, 100)),
+            "lengths": jnp.full((b,), t, jnp.int32),
+            "refer_lengths": jnp.full((b,), tp, jnp.int32),
+        }
+        params = model.init(rng, batch, rng)
+
+        def synth(params, c, refer, lengths, refer_lengths, rng):
+            return generate_mel(model, params, c, refer, lengths,
+                                refer_lengths, rng, method="ddim", steps=3)
+
+        args = (batch["c"], batch["refer"], batch["lengths"],
+                batch["refer_lengths"], jax.random.PRNGKey(7))
+        want = np.asarray(jax.jit(synth)(params, *args))
+
+        mesh = make_mesh(1)  # 8-way data mesh (conftest forces 8 devices)
+        data = batch_sharding(mesh)
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        with mesh:
+            sharded_args = [jax.device_put(a, data) for a in args[:4]]
+            got_dev = jax.jit(synth)(
+                jax.device_put(params, repl), *sharded_args,
+                jax.device_put(args[4], repl))
+            # the batch axis of the result must actually be sharded
+            assert any(s.index[0] != slice(None, None, None)
+                       for s in got_dev.addressable_shards)
+        np.testing.assert_allclose(np.asarray(got_dev), want,
+                                   atol=2e-5, rtol=1e-5)

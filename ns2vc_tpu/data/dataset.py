@@ -228,15 +228,25 @@ class FixedShapeCollator:
         }
         if self.include_wav:
             out["wav"] = np.zeros((n, t_c * self.hop), fd)
+        def t_assign(dst, src):
+            # (L, C) dst <- (C, L) src. A fused strided-transpose +
+            # dtype-cast assignment runs a scalar inner loop in numpy
+            # (~0.25 ms per (256, 272) item-field vs 0.075 as two
+            # contiguous passes, measured on this host — 3.3x): when
+            # casting, transpose into a contiguous buffer first, then
+            # cast-assign contiguously.
+            dst[...] = src.T if dst.dtype == src.dtype \
+                else np.ascontiguousarray(src.T)
+
         for i, (refer, c, f0, spec, audio, uv) in enumerate(batch):
             lc = min(c.shape[1], t_c)
             lr = min(refer.shape[1], t_r)
             out["lengths"][i] = lc
             out["refer_lengths"][i] = lr
-            out["c"][i, :lc] = c[:, :lc].T
-            out["refer"][i, :lr] = refer[:, :lr].T
+            t_assign(out["c"][i, :lc], c[:, :lc])
+            t_assign(out["refer"][i, :lr], refer[:, :lr])
             out["f0"][i, :lc] = f0[:lc]
-            out["spec"][i, :lc] = spec[:, :lc].T
+            t_assign(out["spec"][i, :lc], spec[:, :lc])
             out["uv"][i, :lc] = uv[:lc]
             if self.include_wav:
                 lw = min(audio.shape[-1], t_c * self.hop)

@@ -25,6 +25,7 @@ training (the reference exposes the same switch, unet_1d_blocks.py:947).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -115,7 +116,13 @@ class Attention(nn.Module):
 
 class GEGLUFeedForward(nn.Module):
     """GEGLU feed-forward, mult 4 (reference unet1d/attention.py:310-388;
-    torch F.gelu is the exact erf form)."""
+    torch F.gelu is the exact erf form).
+
+    NS2VC_GELU=tanh swaps in the tanh approximation (experiment knob,
+    read at trace time): its max absolute error (~1e-3 near |x|~1) is
+    below bf16 resolution, so for bf16 execution it is numerically free
+    if the erf evaluation turns out to dominate the FF output-fusions
+    (scripts/bench_geglu.py measures exactly this)."""
 
     dim: int
     mult: int = 4
@@ -125,7 +132,8 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         hidden = nn.Dense(inner * 2, name="proj")(x)
         h, gate = jnp.split(hidden, 2, axis=-1)
-        h = h * nn.gelu(gate, approximate=False)
+        approx = os.environ.get("NS2VC_GELU") == "tanh"
+        h = h * nn.gelu(gate, approximate=approx)
         return nn.Dense(self.dim, name="out")(h)
 
 

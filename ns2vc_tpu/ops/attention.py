@@ -57,6 +57,40 @@ def scaled_dot_product_attention(
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def sdpa_postdiv(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Flash-style *unnormalized* SDPA: materialize exp(l - max) cast to
+    the value dtype (half the f32-probs footprint in bf16), dot with V,
+    and divide by the f32 row-sum AFTER the dot.
+
+    Numerically this only moves the bf16 rounding of individual probs one
+    op earlier than `scaled_dot_product_attention` (which casts the
+    normalized softmax output at the same precision, attention.py:56);
+    the row-sum is still accumulated in f32 inside the producer fusion.
+    Structurally it hands XLA a different fusion boundary — a bf16
+    elementwise root feeding a bare dot instead of softmax-div -> convert
+    -> dot — as a candidate fix for the f32-probs VMEM-spill cliff (the
+    capacity note above). Experiment knob: NS2VC_ATTN_IMPL=postdiv;
+    measured by scripts/bench_softmax_boundary.py."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    logits = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1)
+    o = jnp.einsum("...qk,...kd->...qd", e.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    return (o / s[..., None]).astype(v.dtype)
+
+
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """(B, T, C) -> (B, H, T, C/H)."""
     b, t, c = x.shape
@@ -112,12 +146,13 @@ def multihead_attention(
     """Projected multi-head attention on (B, T, C) tensors.
 
     bias broadcasts against (B, H, Tq, Tk) — pass (B, 1, 1, Tk) for a key
-    padding bias. attn_impl: 'xla' (fused dot-general), 'pallas' (flash
-    kernel; requires bias=None or key-padding-only bias), or 'auto'
-    (default) which picks 'pallas' on TPU past FLASH_MIN_KEYS keys OR when
-    the would-be f32 probs tensor reaches the VMEM-spill regime
-    (NS2VC_FLASH_PROBS_MB — large batch x short T). `NS2VC_ATTN_IMPL` in
-    the env overrides 'auto' for experiments."""
+    padding bias. attn_impl: 'xla' (fused dot-general), 'postdiv'
+    (unnormalized bf16 probs, divide after the PV dot — see sdpa_postdiv),
+    'pallas' (flash kernel; requires bias=None or key-padding-only bias),
+    or 'auto' (default) which picks 'pallas' on TPU past FLASH_MIN_KEYS
+    keys OR when the would-be f32 probs tensor reaches the VMEM-spill
+    regime (NS2VC_FLASH_PROBS_MB — large batch x short T).
+    `NS2VC_ATTN_IMPL` in the env overrides 'auto' for experiments."""
     if attn_impl == "auto":
         forced = os.environ.get("NS2VC_ATTN_IMPL")
         on_tpu = jax.default_backend() != "cpu"
@@ -131,14 +166,16 @@ def multihead_attention(
         spill = (flash_probs_bytes is not None
                  and probs_bytes >= flash_probs_bytes
                  and q.dtype != jnp.float32)
-        if forced in ("xla", "pallas"):
+        if forced in ("xla", "pallas", "postdiv"):
             attn_impl = forced
         else:
             attn_impl = ("pallas" if on_tpu and _key_padding_bias(bias)
                          and (k.shape[1] >= FLASH_MIN_KEYS or spill)
                          else "xla")
     qh, kh, vh = (split_heads(x, num_heads) for x in (q, k, v))
-    if attn_impl == "pallas":
+    if attn_impl == "postdiv":
+        out = sdpa_postdiv(qh, kh, vh, bias=bias, scale=scale)
+    elif attn_impl == "pallas":
         from ns2vc_tpu.ops.pallas_attention import flash_attention
 
         key_bias = None

@@ -112,3 +112,30 @@ class TestAttnImplDispatch:
         got = np.asarray(multihead_attention(q, k, v, 4, bias=bias,
                                              attn_impl="pallas"))
         np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_postdiv_matches_xla(self, qkv):
+        """sdpa_postdiv only reorders the normalization around the PV dot;
+        in f32 it must agree with the softmax path to fp tolerance, with
+        and without a padding bias."""
+        q, k, v = qkv
+        b, t, _ = q.shape
+        lengths = jnp.array([t, t // 2])
+        bias = jnp.where(jnp.arange(t)[None] < lengths[:, None],
+                         0.0, -1e4)[:, None, None, :]
+        for bi in (None, bias):
+            ref = np.asarray(multihead_attention(q, k, v, 4, bias=bi))
+            got = np.asarray(multihead_attention(q, k, v, 4, bias=bi,
+                                                 attn_impl="postdiv"))
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_postdiv_bf16_rounding_only(self, qkv):
+        """In bf16 the postdiv path rounds the unnormalized probs instead
+        of the normalized ones — the result must stay within a few bf16
+        ulps of the softmax path."""
+        q, k, v = (x.astype(jnp.bfloat16) for x in qkv)
+        ref = np.asarray(multihead_attention(q, k, v, 4)
+                         .astype(jnp.float32))
+        got = np.asarray(multihead_attention(q, k, v, 4,
+                                             attn_impl="postdiv")
+                         .astype(jnp.float32))
+        np.testing.assert_allclose(got, ref, atol=3e-2)

@@ -197,3 +197,23 @@ class TestDualTransformer:
         got = mine.apply(params, jnp.asarray(x), jnp.asarray(ctx))
         np.testing.assert_allclose(
             np.asarray(got), want.numpy().transpose(0, 2, 1), atol=2e-5)
+
+
+class TestGeluKnob:
+    def test_tanh_gelu_within_bf16_tolerance(self, monkeypatch):
+        """NS2VC_GELU=tanh swaps the FF gelu for the tanh approximation
+        (experiment knob, models/unet.py::GEGLUFeedForward). The approx
+        error (~1e-3 max) must stay below bf16 resolution of the FF
+        output."""
+        from ns2vc_tpu.models.unet import GEGLUFeedForward
+
+        ff = GEGLUFeedForward(dim=32)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 12, 32)), jnp.float32)
+        params = ff.init(jax.random.PRNGKey(0), x)
+        monkeypatch.delenv("NS2VC_GELU", raising=False)
+        ref = np.asarray(ff.apply(params, x))
+        monkeypatch.setenv("NS2VC_GELU", "tanh")
+        got = np.asarray(ff.apply(params, x))
+        np.testing.assert_allclose(got, ref, atol=2e-2)
+        assert np.max(np.abs(got - ref)) > 0  # the knob actually switched

@@ -165,6 +165,28 @@ class TestGenerate:
         assert mel.shape == (b, t, 100)
         assert np.isfinite(np.asarray(mel)).all()
 
+    def test_postdiv_attention_matches_default(self, monkeypatch):
+        """NS2VC_ATTN_IMPL=postdiv must leave the whole sampled mel within
+        fp tolerance of the default attention path (the env knob reroutes
+        every multihead_attention call site — encoders + UNet self/cross)."""
+        cfg = small_config()
+        model = NaturalSpeech2(cfg)
+        rng = jax.random.PRNGKey(0)
+        b, t, tp = 1, 16, 12
+        c = jax.random.normal(rng, (b, t, 256))
+        refer = jax.random.normal(rng, (b, tp, 100))
+        batch = {"c": c, "refer": refer, "spec": jnp.zeros((b, t, 100)),
+                 "lengths": jnp.array([t]), "refer_lengths": jnp.array([tp])}
+        params = model.init(rng, batch, rng)
+        args = (model, params, c, refer, jnp.array([t]), jnp.array([tp]),
+                rng)
+        monkeypatch.delenv("NS2VC_ATTN_IMPL", raising=False)
+        ref = np.asarray(generate_mel(*args, method="unipc", steps=6))
+        monkeypatch.setenv("NS2VC_ATTN_IMPL", "postdiv")
+        got = np.asarray(generate_mel(*args, method="unipc", steps=6))
+        np.testing.assert_allclose(got, ref, atol=5e-4)
+        assert np.max(np.abs(got - ref)) > 0  # the knob actually rerouted
+
 
 class TestF0PredictorPath:
     def test_enabled_f0_loss_and_params(self):

@@ -79,7 +79,13 @@ def main(argv=None):
                   file=sys.stderr, flush=True)
             time.sleep(120)
             os.environ["NS2VC_BENCH_RETRY"] = str(tries + 1)
-            os.execve(sys.executable, [sys.executable] + sys.argv,
+            # re-exec with the args THIS invocation received: when main()
+            # is called programmatically with an explicit argv, sys.argv
+            # belongs to the host process and would silently restart the
+            # bench at the default configuration
+            cli = list(argv) if argv is not None else sys.argv[1:]
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)] + cli,
                       os.environ)
         sys.exit("TPU backend unavailable after retries; refusing to "
                  "report a CPU number (NS2VC_ALLOW_CPU_BENCH=1 overrides)")

@@ -31,9 +31,10 @@ from typing import Callable, Optional
 
 import numpy as np
 
-
-def _bucket(n: int, step: int = 64) -> int:
-    return max(step, -(-n // step) * step)
+# one definition, shared with Svc's per-bucket jit cache: MicroBatcher's
+# grouping and Svc.infer_batch's padding must agree or one serve bucket
+# would span several compiled geometries (silent recompiles/lost batching)
+from ns2vc_tpu.infer.svc import _bucket
 
 
 @dataclass
@@ -66,6 +67,10 @@ class MicroBatcher:
         self._q: queue.Queue = queue.Queue()
         self._pending: dict[int, list[_Request]] = {}
         self._closed = False
+        # orders every submit() put against close()'s sentinel put: a
+        # submit that passed the closed-check is guaranteed to enqueue
+        # BEFORE the None sentinel, so the worker always drains it
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="ns2vc-microbatcher")
         self._worker.start()
@@ -77,16 +82,28 @@ class MicroBatcher:
         """Queue one clip ((T, 256) content + optional per-clip f0/uv at
         the mel frame rate, e.g. from Svc.compute_features). Returns a
         Future resolving to the waveform (T*hop,)."""
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
-        req = _Request(np.asarray(content), f0, uv)
-        self._q.put(req)
+        content = np.asarray(content)
+        # validate here so one malformed clip fails only its own caller,
+        # not every co-batched request (infer_batch errors are batch-wide)
+        if content.ndim != 2:
+            raise ValueError(f"content must be (T, C), got {content.shape}")
+        for name, arr in (("f0", f0), ("uv", uv)):
+            if arr is not None and np.shape(arr) != (content.shape[0],):
+                raise ValueError(
+                    f"{name} must be ({content.shape[0]},), got "
+                    f"{np.shape(arr)}")
+        req = _Request(content, f0, uv)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put(req)
         return req.future
 
     def close(self, timeout: Optional[float] = None):
         """Flush everything queued, then stop the worker."""
-        self._closed = True
-        self._q.put(None)  # wake the worker
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)  # wake the worker
         self._worker.join(timeout)
 
     def __enter__(self):
@@ -135,6 +152,13 @@ class MicroBatcher:
                 return
 
     def _dispatch(self, batch: list[_Request]):
+        # claim each future (RUNNING) so a late client-side cancel cannot
+        # make set_result raise InvalidStateError mid-loop and poison the
+        # rest of the batch; already-cancelled requests drop out here
+        batch = [r for r in batch
+                 if r.future.set_running_or_notify_cancel()]
+        if not batch:
+            return
         use_f0 = any(r.f0 is not None for r in batch)
         try:
             # a mixed batch (some clips without f0) still dispatches as one

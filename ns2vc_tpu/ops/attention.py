@@ -152,7 +152,12 @@ def multihead_attention(
     or 'auto' (default) which picks 'pallas' on TPU past FLASH_MIN_KEYS
     keys OR when the would-be f32 probs tensor reaches the VMEM-spill
     regime (NS2VC_FLASH_PROBS_MB — large batch x short T).
-    `NS2VC_ATTN_IMPL` in the env overrides 'auto' for experiments."""
+    `NS2VC_ATTN_IMPL` in the env overrides 'auto' for experiments.
+
+    Env knobs are read at TRACE time: programs already compiled for a
+    geometry (Svc._infer_cache, the trainer step, bench) keep their
+    baked-in impl when the env changes mid-process — set knobs before
+    the first call of each program (same caveat as NS2VC_GELU)."""
     if attn_impl == "auto":
         forced = os.environ.get("NS2VC_ATTN_IMPL")
         on_tpu = jax.default_backend() != "cpu"

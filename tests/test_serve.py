@@ -166,3 +166,37 @@ def test_integration_real_svc():
         out1, out2 = f1.result(timeout=300), f2.result(timeout=300)
     assert out1.shape == (32 * hop,) and out2.shape == (32 * hop,)
     assert np.all(np.isfinite(out1)) and np.all(np.isfinite(out2))
+
+
+class TestMicroBatcherRobustness:
+    def test_cancelled_future_does_not_poison_batch(self):
+        """A client-side cancel before dispatch must not stop the other
+        co-batched requests from resolving (futures are claimed RUNNING
+        at dispatch; cancelled ones drop out)."""
+        svc = FakeSvc()
+        with MicroBatcher(svc, REFER, max_batch=4, flush_ms=100) as mb:
+            futs = [mb.submit(make_clip(100, i)) for i in range(3)]
+            assert futs[1].cancel()
+            outs = [futs[i].result(timeout=10) for i in (0, 2)]
+        assert outs[0][0] == 0 and outs[1][0] == 2
+        assert futs[1].cancelled()
+        assert svc.calls[0]["sizes"] == [100, 100]  # cancelled one dropped
+
+    def test_malformed_clip_rejected_at_submit(self):
+        """Shape validation happens in submit() so one bad clip fails only
+        its own caller, never a whole co-batched dispatch."""
+        svc = FakeSvc()
+        with MicroBatcher(svc, REFER, max_batch=4, flush_ms=50) as mb:
+            with pytest.raises(ValueError, match="content"):
+                mb.submit(np.zeros(100, np.float32))  # 1-D
+            with pytest.raises(ValueError, match="f0"):
+                mb.submit(make_clip(100), f0=np.zeros(7, np.float32))
+            out = mb.submit(make_clip(100, 5.0)).result(timeout=10)
+        assert out[0] == 5.0 and not svc.calls[0].get("f0s")
+
+    def test_submit_after_close_raises(self):
+        svc = FakeSvc()
+        mb = MicroBatcher(svc, REFER, max_batch=4, flush_ms=50)
+        mb.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            mb.submit(make_clip(100))

@@ -91,6 +91,76 @@ def sdpa_postdiv(
     return (o / s[..., None]).astype(v.dtype)
 
 
+def sdpa_blocked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    scale: float | None = None,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    """Online-softmax attention blocked over keys via `lax.scan` — a pure
+    XLA flash variant that never materializes the (.., Tq, Tk) probs
+    tensor (peak logits footprint is one (.., Tq, block_k) block).
+
+    Fifth structural candidate for the f32-probs VMEM-spill batch cliff
+    (capacity note in scaled_dot_product_attention): unlike the Pallas
+    kernel it stays inside XLA (no custom-call fusion boundary, no
+    400 -> 512 key padding), and unlike postdiv it bounds the footprint
+    instead of halving it. The per-block probs are cast to the value
+    dtype before the PV dot (same rounding as the other impls); max/sum/
+    output accumulate in f32. Experiment knob: NS2VC_ATTN_IMPL=blocked
+    (NS2VC_BLOCK_K overrides the block size)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    tq, tk = q.shape[-2], k.shape[-2]
+    nb = -(-tk // block_k)
+    # pad keys up to a whole number of blocks; padded keys are masked off
+    # through the bias (conventions: True=valid, bias -1e4; -1e9 here so
+    # a padded block can never win the running max). The bias stays at
+    # its broadcastable shape (e.g. (B, 1, 1, Tk) key padding) and is
+    # sliced per block inside the scan — pre-broadcasting it to the
+    # logits shape would materialize exactly the probs-sized tensor this
+    # impl exists to avoid.
+    pad = nb * block_k - tk
+    if pad:
+        k = jnp.pad(k, [(0, 0)] * (k.ndim - 2) + [(0, pad), (0, 0)])
+        v = jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, pad), (0, 0)])
+    if bias is not None:
+        bias_b = jnp.pad(bias.astype(jnp.float32),
+                         [(0, 0)] * (bias.ndim - 1) + [(0, pad)],
+                         constant_values=-1e9)
+    else:
+        bias_b = jnp.where(jnp.arange(nb * block_k) < tk,
+                           0.0, -1e9)[None, None, None, :]
+
+    lead = q.shape[:-2]  # (..., H)
+    o0 = jnp.zeros(lead + (tq, v.shape[-1]), jnp.float32)
+    m0 = jnp.full(lead + (tq, 1), -1e30, jnp.float32)
+    s0 = jnp.zeros(lead + (tq, 1), jnp.float32)
+
+    def body(carry, i):
+        o, m, s = carry
+        kblk = jax.lax.dynamic_slice_in_dim(k, i * block_k, block_k, -2)
+        vblk = jax.lax.dynamic_slice_in_dim(v, i * block_k, block_k, -2)
+        bblk = jax.lax.dynamic_slice_in_dim(bias_b, i * block_k,
+                                            block_k, -1)
+        logits = jnp.einsum("...qd,...kd->...qk", q, kblk,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + bblk
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new)
+        s = s * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        o = o * alpha + jnp.einsum("...qk,...kd->...qd",
+                                   p.astype(v.dtype), vblk,
+                                   preferred_element_type=jnp.float32)
+        return (o, m_new, s), None
+
+    (o, _, s), _ = jax.lax.scan(body, (o0, m0, s0), jnp.arange(nb))
+    return (o / s).astype(v.dtype)
+
+
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """(B, T, C) -> (B, H, T, C/H)."""
     b, t, c = x.shape
@@ -171,7 +241,7 @@ def multihead_attention(
         spill = (flash_probs_bytes is not None
                  and probs_bytes >= flash_probs_bytes
                  and q.dtype != jnp.float32)
-        if forced in ("xla", "pallas", "postdiv"):
+        if forced in ("xla", "pallas", "postdiv", "blocked"):
             attn_impl = forced
         else:
             attn_impl = ("pallas" if on_tpu and _key_padding_bias(bias)
@@ -180,6 +250,10 @@ def multihead_attention(
     qh, kh, vh = (split_heads(x, num_heads) for x in (q, k, v))
     if attn_impl == "postdiv":
         out = sdpa_postdiv(qh, kh, vh, bias=bias, scale=scale)
+    elif attn_impl == "blocked":
+        out = sdpa_blocked(qh, kh, vh, bias=bias, scale=scale,
+                           block_k=int(os.environ.get("NS2VC_BLOCK_K",
+                                                      "128")))
     elif attn_impl == "pallas":
         from ns2vc_tpu.ops.pallas_attention import flash_attention
 

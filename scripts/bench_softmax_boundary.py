@@ -42,29 +42,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import numpy as np
 
 
-@jax.jit
-def sdpa(q, k, v):
-    """Current path (ops/attention.py::scaled_dot_product_attention)."""
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    w = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32).astype(v.dtype)
+from ns2vc_tpu.ops import attention as A
 
-
-@jax.jit
-def postdiv(q, k, v):
-    """Unnormalized bf16 exps, f32 row-sum, divide after the PV dot."""
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
-    e = jnp.exp(logits - m)
-    s = jnp.sum(e, axis=-1)                       # f32 (B,H,Tq)
-    o = jnp.einsum("bhqk,bhkd->bhqd", e.astype(v.dtype), v,
-                   preferred_element_type=jnp.float32)
-    return (o / s[..., None]).astype(v.dtype)
+# the real implementations the NS2VC_ATTN_IMPL knob dispatches to
+sdpa = jax.jit(A.scaled_dot_product_attention)
+postdiv = jax.jit(A.sdpa_postdiv)
+def make_blocked(block_k):
+    return jax.jit(functools.partial(A.sdpa_blocked, block_k=block_k))
 
 
 def timeit(fn, q, k, v, iters=20):
@@ -88,12 +72,16 @@ def main():
                     help="UNet level-0 head_dim (C=128 / 8 heads)")
     ap.add_argument("--t", type=int, default=400)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--block_k", type=int, default=200,
+                    help="key block for sdpa_blocked (200 divides T=400 -> no pad)")
     args = ap.parse_args()
 
+    blocked = make_blocked(args.block_k)
     rng = jax.random.PRNGKey(0)
     print(f"T={args.t} H={args.heads} D={args.head_dim} bf16 "
           f"(ms/call, chained+readback)")
-    print(f"{'B':>4}{'sdpa':>10}{'postdiv':>10}{'max|diff|':>12}")
+    print(f"{'B':>4}{'sdpa':>10}{'postdiv':>10}{'blocked':>10}"
+          f"{'max|diff|':>12}")
     for b in args.batches:
         shape = (b, args.heads, args.t, args.head_dim)
         q = jax.random.normal(rng, shape, jnp.bfloat16)
@@ -101,12 +89,19 @@ def main():
                               jnp.bfloat16)
         v = jax.random.normal(jax.random.fold_in(rng, 2), shape,
                               jnp.bfloat16)
-        diff = float(jnp.max(jnp.abs(
-            sdpa(q, k, v).astype(jnp.float32)
-            - postdiv(q, k, v).astype(jnp.float32))))
+        base = sdpa(q, k, v).astype(jnp.float32)
+        diff = max(
+            float(jnp.max(jnp.abs(base
+                                  - postdiv(q, k, v)
+                                  .astype(jnp.float32)))),
+            float(jnp.max(jnp.abs(base
+                                  - blocked(q, k, v)
+                                  .astype(jnp.float32)))))
         ms_a = timeit(sdpa, q, k, v, args.iters)
         ms_b = timeit(postdiv, q, k, v, args.iters)
-        print(f"{b:>4}{ms_a:>10.3f}{ms_b:>10.3f}{diff:>12.4f}", flush=True)
+        ms_c = timeit(blocked, q, k, v, args.iters)
+        print(f"{b:>4}{ms_a:>10.3f}{ms_b:>10.3f}{ms_c:>10.3f}"
+              f"{diff:>12.4f}", flush=True)
 
 
 if __name__ == "__main__":

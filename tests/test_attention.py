@@ -128,6 +128,35 @@ class TestAttnImplDispatch:
                                                  attn_impl="postdiv"))
             np.testing.assert_allclose(got, ref, atol=1e-5)
 
+    def test_blocked_matches_xla(self, qkv):
+        """sdpa_blocked (online-softmax scan over key blocks) must match
+        the one-shot softmax path, including when Tk is not a multiple of
+        the block size (padded keys masked via the running-max bias)."""
+        q, k, v = qkv
+        b, t, _ = q.shape
+        lengths = jnp.array([t, t // 2])
+        bias = jnp.where(jnp.arange(t)[None] < lengths[:, None],
+                         0.0, -1e4)[:, None, None, :]
+        for bi in (None, bias):
+            ref = np.asarray(multihead_attention(q, k, v, 4, bias=bi))
+            for blk in (8, 7, t, 4 * t):  # exact, ragged, single, over
+                import os
+                os.environ["NS2VC_BLOCK_K"] = str(blk)
+                try:
+                    got = np.asarray(multihead_attention(
+                        q, k, v, 4, bias=bi, attn_impl="blocked"))
+                finally:
+                    del os.environ["NS2VC_BLOCK_K"]
+                np.testing.assert_allclose(got, ref, atol=1e-5,
+                                           err_msg=f"block_k={blk}")
+
+    def test_blocked_under_jit(self, qkv):
+        q, k, v = qkv
+        ref = np.asarray(multihead_attention(q, k, v, 4))
+        fn = jax.jit(lambda a, b_, c: multihead_attention(
+            a, b_, c, 4, attn_impl="blocked"))
+        np.testing.assert_allclose(np.asarray(fn(q, k, v)), ref, atol=1e-5)
+
     def test_postdiv_bf16_rounding_only(self, qkv):
         """In bf16 the postdiv path rounds the unnormalized probs instead
         of the normalized ones — the result must stay within a few bf16

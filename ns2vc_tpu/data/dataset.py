@@ -13,6 +13,11 @@ available.
 The zero-shot training trick is preserved exactly (dataset.py:94-115
 random_slice): crop to <=400 mel frames, cut a random contiguous 1/3-2/3
 span as the *reference prompt*, splice the remainder as content/target.
+
+In-memory item layout is time-major (T, C) — flipped once at load from
+the on-disk (C, T) reference layout — so the whole hot path (frame-rate
+expansion, random_slice crops/splices, collate cast-assign) runs on
+contiguous rows; the batch dict keeps the package-wide (B, T, C).
 """
 
 from __future__ import annotations
@@ -77,15 +82,19 @@ def _load_feature(path_no_ext: str, suffix: str) -> np.ndarray:
 
 
 def repeat_expand_2d(content: np.ndarray, target_len: int) -> np.ndarray:
-    """Nearest-neighbor frame-rate expansion (reference utils.py:482-496):
-    content (C, T_src) -> (C, target_len). The reference walks a cursor
-    (idx[i] = max j such that pos[j] <= i); searchsorted computes the same
-    index without the per-frame Python loop (loader hot path)."""
-    src_len = content.shape[-1]
+    """Nearest-neighbor frame-rate expansion (reference utils.py:482-496,
+    same index mapping in time-major layout): content (T_src, C) ->
+    (target_len, C). The reference walks a cursor (idx[i] = max j such
+    that pos[j] <= i); searchsorted computes the same index without the
+    per-frame Python loop, and the row gather on a contiguous (T, C)
+    array is a block memcpy per output frame (the reference's (C, T)
+    column gather strides C times per frame — measured 3-4x slower on
+    this loader's hot path)."""
+    src_len = content.shape[0]
     pos = np.arange(src_len) * target_len / src_len
     idx = np.searchsorted(pos, np.arange(target_len), side="right") - 1
     np.maximum(idx, 0, out=idx)
-    return content[:, idx]
+    return content[idx]
 
 
 class VCDataset:
@@ -127,48 +136,57 @@ class VCDataset:
         else:
             audio = np.zeros(0, np.float32)
         base = filename  # features live next to the wav, suffixed
+        # On-disk features keep the reference's (C, T) layout
+        # (preprocess.py writes it, real reference artifacts ship it);
+        # everything downstream of this method is time-major (T, C) —
+        # random_slice becomes contiguous row views and the collator a
+        # straight cast-assign, which is where the loader's time goes.
         spec = _load_feature(base.replace(".wav", ""), ".spec")
         if spec.ndim == 3:
             spec = spec[0]
+        spec = np.ascontiguousarray(spec.T)
         f0_raw = _fast_npy_load(filename + ".f0.npy")
         f0, uv = interpolate_f0(f0_raw)
         c = _load_feature(base, ".soft")
         if c.ndim == 3:
             c = c[0]
-        c = repeat_expand_2d(c, f0.shape[0])
+        c = repeat_expand_2d(np.ascontiguousarray(c.T), f0.shape[0])
 
-        lmin = min(c.shape[-1], spec.shape[-1])
-        assert abs(c.shape[-1] - spec.shape[-1]) < 3, (
+        lmin = min(c.shape[0], spec.shape[0])
+        assert abs(c.shape[0] - spec.shape[0]) < 3, (
             c.shape, spec.shape, filename)
         if self.load_audio:
             assert abs(audio.shape[-1] - lmin * self.hop_length) \
                 < 3 * self.hop_length
-        spec, c, f0, uv = spec[:, :lmin], c[:, :lmin], f0[:lmin], uv[:lmin]
+        spec, c, f0, uv = spec[:lmin], c[:lmin], f0[:lmin], uv[:lmin]
         audio = audio[: lmin * self.hop_length]
         return c, f0, spec, audio, uv
 
     def random_slice(self, c, f0, spec, audio, uv):
-        """Prompt/content split (reference dataset.py:94-115)."""
-        if spec.shape[1] < 30:
+        """Prompt/content split (reference dataset.py:94-115). 2-D fields
+        are time-major (T, C): crops are contiguous row views and the
+        cut-out concatenations block memcpys (vs the reference's strided
+        (C, T) column slicing)."""
+        if spec.shape[0] < 30:
             return None
-        if spec.shape[1] > 400:
-            start = self.rng.randint(0, spec.shape[1] - 400)
+        if spec.shape[0] > 400:
+            start = self.rng.randint(0, spec.shape[0] - 400)
             end = start + 400
-            spec, c, f0, uv = (spec[:, start:end], c[:, start:end],
+            spec, c, f0, uv = (spec[start:end], c[start:end],
                                f0[start:end], uv[start:end])
             audio = audio[start * self.hop_length : end * self.hop_length]
-        len_spec = spec.shape[1]
+        len_spec = spec.shape[0]
         l = self.rng.randint(len_spec // 3, len_spec // 3 * 2)
         u = self.rng.randint(0, len_spec - l)
         v = u + l
-        refer = spec[:, u:v]
-        c = np.concatenate([c[:, :u], c[:, v:]], axis=-1)
+        refer = spec[u:v]
+        c = np.concatenate([c[:u], c[v:]], axis=0)
         f0 = np.concatenate([f0[:u], f0[v:]], axis=-1)
-        spec = np.concatenate([spec[:, :u], spec[:, v:]], axis=-1)
+        spec = np.concatenate([spec[:u], spec[v:]], axis=0)
         uv = np.concatenate([uv[:u], uv[v:]], axis=-1)
         audio = np.concatenate([audio[: u * self.hop_length],
                                 audio[v * self.hop_length :]], axis=-1)
-        assert c.shape[1] != 0 and refer.shape[1] != 0
+        assert c.shape[0] != 0 and refer.shape[0] != 0
         return refer, c, f0, spec, audio, uv
 
     def __getitem__(self, index: int):
@@ -214,8 +232,8 @@ class FixedShapeCollator:
         assert batch, "empty batch after filtering short clips"
         t_c, t_r = geometry if geometry is not None else (self.t_c, self.t_r)
         n = len(batch)
-        c_dim = batch[0][1].shape[0]
-        spec_dim = batch[0][3].shape[0]
+        c_dim = batch[0][1].shape[1]
+        spec_dim = batch[0][3].shape[1]
         fd = self.float_dtype
         out = {
             "c": np.zeros((n, t_c, c_dim), fd),
@@ -228,25 +246,20 @@ class FixedShapeCollator:
         }
         if self.include_wav:
             out["wav"] = np.zeros((n, t_c * self.hop), fd)
-        def t_assign(dst, src):
-            # (L, C) dst <- (C, L) src. A fused strided-transpose +
-            # dtype-cast assignment runs a scalar inner loop in numpy
-            # (~0.25 ms per (256, 272) item-field vs 0.075 as two
-            # contiguous passes, measured on this host — 3.3x): when
-            # casting, transpose into a contiguous buffer first, then
-            # cast-assign contiguously.
-            dst[...] = src.T if dst.dtype == src.dtype \
-                else np.ascontiguousarray(src.T)
-
+        # items are time-major (T, C) — every 2-D field assignment below
+        # is a contiguous cast-assign (the former (C, T) layout needed a
+        # per-field transpose; its fused strided-transpose + cast ran a
+        # scalar inner loop in numpy, ~3.3x slower, and was the largest
+        # single collate cost).
         for i, (refer, c, f0, spec, audio, uv) in enumerate(batch):
-            lc = min(c.shape[1], t_c)
-            lr = min(refer.shape[1], t_r)
+            lc = min(c.shape[0], t_c)
+            lr = min(refer.shape[0], t_r)
             out["lengths"][i] = lc
             out["refer_lengths"][i] = lr
-            t_assign(out["c"][i, :lc], c[:, :lc])
-            t_assign(out["refer"][i, :lr], refer[:, :lr])
+            out["c"][i, :lc] = c[:lc]
+            out["refer"][i, :lr] = refer[:lr]
             out["f0"][i, :lc] = f0[:lc]
-            t_assign(out["spec"][i, :lc], spec[:, :lc])
+            out["spec"][i, :lc] = spec[:lc]
             out["uv"][i, :lc] = uv[:lc]
             if self.include_wav:
                 lw = min(audio.shape[-1], t_c * self.hop)
@@ -309,8 +322,8 @@ class BucketedCollator(FixedShapeCollator):
     def bucket_of(self, item) -> tuple[int, int]:
         """(content, refer) geometry for one random_slice output."""
         refer, c = item[0], item[1]
-        return (self._fit(self.buckets, c.shape[1], self.t_c),
-                self._fit(self.refer_buckets, refer.shape[1], self.t_r))
+        return (self._fit(self.buckets, c.shape[0], self.t_c),
+                self._fit(self.refer_buckets, refer.shape[0], self.t_r))
 
     def geometries(self) -> list[tuple[int, int]]:
         """Every (t_c, t_r) pair this collator can emit (for pre-building

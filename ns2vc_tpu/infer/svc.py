@@ -197,7 +197,7 @@ class Svc:
         wav16 = np.asarray(resample(jnp.asarray(wav), sr, 16000))
         c = np.asarray(self.contentvec.apply(
             self.contentvec_params, jnp.asarray(wav16)[None]))[0]  # (T50,256)
-        c = repeat_expand_2d(c.T, len(f0)).T  # (T, 256)
+        c = repeat_expand_2d(c, len(f0))  # (T, 256), time-major expand
         return c, f0, uv, wav24
 
     def compute_refer_mel(self, refer_wav: np.ndarray, sr: int) -> np.ndarray:

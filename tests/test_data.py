@@ -247,3 +247,103 @@ class TestBucketedCollator:
             assert (batch["c"].shape[1], batch["refer"].shape[1]) in geoms
             assert (batch["lengths"] > 0).all()
             assert np.isfinite(batch["spec"]).all()
+
+
+def _synthetic_feature_dataset(root, lengths, seed=0):
+    """Feature-only utterances in the preprocessor layout (no audio
+    payload — the train path never decodes wavs)."""
+    rng = np.random.default_rng(seed)
+    for i, T in enumerate(lengths):
+        d = os.path.join(root, str(i))
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, f"{i}.wav"), "wb").close()
+        np.save(os.path.join(d, f"{i}.spec.npy"),
+                rng.standard_normal((100, T)).astype(np.float32))
+        np.save(os.path.join(d, f"{i}.wav.f0.npy"),
+                (np.abs(rng.standard_normal(T)) * 100 + 50)
+                .astype(np.float32))
+        np.save(os.path.join(d, f"{i}.wav.soft.npy"),
+                rng.standard_normal((256, (T + 1) // 2)).astype(np.float32))
+
+
+class TestSyncedSchedule:
+    """data/dataset.py::synced_schedule / synced_data_loader — the
+    cross-host-deterministic multi-host batch plan (VERDICT r3 #1). The
+    2-process cluster integration lives in tests/test_parallel.py; these
+    are the host-side contracts every process relies on."""
+
+    LENGTHS = [40, 56, 64, 48, 36, 60, 44, 52, 40, 64, 56, 34, 45, 38,
+               62, 50, 20, 90]
+
+    def _ds_coll(self, tmp_path, buckets=(32, 64)):
+        from ns2vc_tpu.data.dataset import BucketedCollator
+
+        root = str(tmp_path / "synth")
+        _synthetic_feature_dataset(root, self.LENGTHS)
+        cfg = Config(train=TrainConfig(max_content_frames=64,
+                                       max_refer_frames=48))
+        ds = VCDataset(root, cfg, seed=0, load_audio=False)
+        coll = BucketedCollator(cfg, buckets=buckets)
+        return ds, coll
+
+    def test_schedule_deterministic_and_header_only(self, tmp_path):
+        from ns2vc_tpu.data.dataset import synced_schedule
+
+        ds, coll = self._ds_coll(tmp_path)
+        gen1 = synced_schedule(ds, coll, 8, seed=3)
+        gen2 = synced_schedule(ds, coll, 8, seed=3)
+        for _ in range(10):
+            g1, e1 = next(gen1)
+            g2, e2 = next(gen2)
+            assert g1 == g2 and e1 == e2
+
+    def test_schedule_predicts_realized_geometry(self, tmp_path):
+        """The geometry the schedule computed from headers must equal the
+        geometry the actual load realizes — _load_scheduled_batch asserts
+        this internally; consume enough batches to cover both buckets."""
+        from ns2vc_tpu.data.dataset import (
+            _load_scheduled_batch, synced_schedule,
+        )
+
+        ds, coll = self._ds_coll(tmp_path)
+        gen = synced_schedule(ds, coll, 4, seed=1)
+        geoms = set()
+        for _ in range(10):
+            geom, entries = next(gen)
+            batch = _load_scheduled_batch(ds, coll, entries, geom)
+            assert batch["c"].shape[1] == geom[0]
+            assert batch["refer"].shape[1] == geom[1]
+            geoms.add(geom)
+        assert {g[0] for g in geoms} == {32, 64}  # both content buckets
+
+    def test_shards_disjoint_and_aligned(self, tmp_path):
+        """Two simulated hosts: identical geometry sequences, disjoint
+        item sets per global batch."""
+        from ns2vc_tpu.data.dataset import synced_schedule
+
+        ds, coll = self._ds_coll(tmp_path)
+        gen = synced_schedule(ds, coll, 4, seed=0)
+        for _ in range(8):
+            _, entries = next(gen)
+            h0 = entries[:2]
+            h1 = entries[2:]
+            assert len(h0) == len(h1) == 2
+            assert not {i for i, _ in h0} & {i for i, _ in h1} \
+                or len({i for i, _ in entries}) < 4  # dup only if epoch wrap
+
+    def test_worker_pool_matches_inline(self, tmp_path):
+        """num_workers>0 must yield the identical batch stream (values,
+        order) as the inline loader — the re-sequencing logic."""
+        from ns2vc_tpu.data.dataset import synced_data_loader
+
+        ds, coll = self._ds_coll(tmp_path)
+        inline = synced_data_loader(ds, coll, 4, seed=2, num_workers=0,
+                                    shard_index=0, shard_count=1)
+        pooled = synced_data_loader(ds, coll, 4, seed=2, num_workers=2,
+                                    shard_index=0, shard_count=1)
+        for _ in range(6):
+            a, b = next(inline), next(pooled)
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]), err_msg=k)

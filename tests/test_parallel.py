@@ -8,6 +8,8 @@ tensor parallelism is this framework's scale-out stretch goal, so its
 correctness contract is equivalence with the unsharded program.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -230,6 +232,159 @@ class TestMultiHostInit:
         for p, out in zip(procs, outs):
             assert p.returncode == 0, out[-2000:]
             assert "TOTAL 10.0" in out  # 1+2+3+4 across both processes
+
+
+class TestMultiHostTrainer:
+    """VERDICT r3 #1: multi-host-COMPLETE training. A real 2-process CPU
+    cluster (2 local devices each, gloo collectives) runs Trainer.train()
+    WITH length_buckets set, saves, resumes, and trains on — exercising
+    the synced bucket-geometry schedule (a geometry divergence would
+    deadlock the all-reduce and trip the timeout), process-0 gating, the
+    per-process loader shards, and the multi-host orbax save/restore.
+    Both hosts must agree on the dispatched geometries and end with
+    identical replicated params (reference analogue: `accelerate launch
+    train.py` DDP, README.md:60-64 + model.py:788, 882, 905)."""
+
+    def _make_synthetic_dataset(self, root, n_items=18, seed=0):
+        """Feature-only utterances (no audio decode on the train path):
+        empty .wav markers + spec/f0/soft npy files at varied lengths so
+        the schedule exercises BOTH content buckets."""
+        rng = np.random.default_rng(seed)
+        lengths = [40, 56, 64, 48, 36, 60, 44, 52, 40, 64,
+                   56, 34, 45, 38, 62, 50, 20, 90][:n_items]
+        for i, T in enumerate(lengths):
+            d = os.path.join(root, str(i))
+            os.makedirs(d, exist_ok=True)
+            open(os.path.join(d, f"{i}.wav"), "wb").close()
+            np.save(os.path.join(d, f"{i}.spec.npy"),
+                    rng.standard_normal((100, T)).astype(np.float32))
+            np.save(os.path.join(d, f"{i}.wav.f0.npy"),
+                    (np.abs(rng.standard_normal(T)) * 100 + 50)
+                    .astype(np.float32))
+            np.save(os.path.join(d, f"{i}.wav.soft.npy"),
+                    rng.standard_normal((256, (T + 1) // 2))
+                    .astype(np.float32))
+
+    def test_two_process_bucketed_train_save_resume(self, tmp_path):
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        data_dir = tmp_path / "data"
+        val_dir = tmp_path / "val"  # empty -> eval_ds is None
+        os.makedirs(val_dir, exist_ok=True)
+        self._make_synthetic_dataset(str(data_dir))
+
+        script = tmp_path / "worker.py"
+        script.write_text(textwrap.dedent("""
+            import os
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", 2)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/ns2vc_jax_cache_cpu")
+            # the wall-clock here is ~6 cold whole-program compiles per
+            # worker on a shared single core: cache even tiny programs so
+            # repeat runs are fast
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.1)
+
+            from ns2vc_tpu.parallel.mesh import maybe_initialize_distributed
+            assert maybe_initialize_distributed()
+            assert jax.process_count() == 2
+            assert len(jax.devices()) == 4
+
+            import numpy as np
+            from ns2vc_tpu.config import (
+                Config, DataConfig, DiffusionEncoderConfig, EncoderConfig,
+                TrainConfig,
+            )
+            from ns2vc_tpu.train.trainer import Trainer
+
+            cfg = Config(
+                train=TrainConfig(
+                    train_batch_size=4, train_lr=1e-4, train_num_steps=6,
+                    save_and_sample_every=10_000, keep_ckpts=2,
+                    max_content_frames=64, max_refer_frames=48,
+                    length_buckets=(32, 64), num_workers=0, log_every=2,
+                    remat=False, seed=0),
+                data=DataConfig(training_files=os.environ["NS2VC_T_DATA"],
+                                val_files=os.environ["NS2VC_T_VAL"]),
+                phoneme_encoder=EncoderConfig(n_layers=1),
+                prompt_encoder=EncoderConfig(in_channels=100, n_layers=1),
+                diffusion_encoder=DiffusionEncoderConfig(
+                    block_out_channels=(16, 24, 32, 40)),
+            )
+            logs = os.environ["NS2VC_T_LOGS"]
+            tr = Trainer(cfg, logs_folder=logs)
+            assert tr.n_proc == 2
+            tr.train(num_steps=4)
+            assert tr.step == 4
+            print("GEOMS", sorted(tr._step_fns.keys()), flush=True)
+            tr.save()
+
+            def phash(params):
+                return float(sum(np.abs(np.asarray(l)).sum()
+                                 for l in jax.tree.leaves(
+                                     jax.tree.map(np.asarray, params))))
+
+            print("PARAMS %.10e" % phash(tr.state.params), flush=True)
+
+            tr2 = Trainer(cfg, logs_folder=logs)
+            tr2.load()
+            print("RESUMED", int(tr2.step), flush=True)
+            assert phash(tr2.state.params) == phash(tr.state.params)
+            tr2.train(num_steps=6)  # two more steps after resume
+            assert tr2.step == 6
+            print("PARAMS2 %.10e" % phash(tr2.state.params), flush=True)
+            print("WORKER-OK", flush=True)
+        """))
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {**os.environ,
+               "JAX_PLATFORMS": "cpu",
+               # cheapest backend codegen: this test gates distributed
+               # CONTROL behavior (schedules, barriers, checkpoints), not
+               # numerics-at-speed, and un-optimized compiles halve its
+               # dominant cost (~6 cold whole-program compiles/worker on
+               # a shared single core)
+               "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                             + " --xla_backend_optimization_level=0"),
+               "NS2VC_COORDINATOR": f"localhost:{port}",
+               "NS2VC_NUM_PROCESSES": "2",
+               "NS2VC_T_DATA": str(data_dir),
+               "NS2VC_T_VAL": str(val_dir),
+               "NS2VC_T_LOGS": str(tmp_path / "logs"),
+               "PYTHONPATH": repo + os.pathsep + os.environ.get(
+                   "PYTHONPATH", "")}
+        import subprocess
+        import sys
+        procs = [subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env, "NS2VC_PROCESS_ID": str(i)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            for i in range(2)]
+        outs = [p.communicate(timeout=1800)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-4000:]
+            assert "WORKER-OK" in out
+
+        def lines(out, tag):
+            return [ln for ln in out.splitlines() if ln.startswith(tag)]
+
+        # both hosts dispatched the same geometry set, and both content
+        # buckets actually occurred (the synthetic lengths span them)
+        g0, g1 = lines(outs[0], "GEOMS"), lines(outs[1], "GEOMS")
+        assert g0 == g1 and g0, (g0, g1)
+        assert "(32, 48)" in g0[0] and "(64, 48)" in g0[0], g0
+        # replicated state agrees across hosts after train AND after
+        # save -> resume -> train
+        for tag in ("PARAMS ", "RESUMED", "PARAMS2"):
+            assert lines(outs[0], tag) == lines(outs[1], tag) != [], tag
 
 
 class TestShardedInference:

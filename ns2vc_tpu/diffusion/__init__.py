@@ -12,8 +12,10 @@ from ns2vc_tpu.diffusion.samplers import (
     thresholded_x0_fn,
     unipc_sample,
 )
+from ns2vc_tpu.diffusion.wrappers import model_wrapper
 
 __all__ = [
+    "model_wrapper",
     "NoiseSchedule",
     "add_noise",
     "ddpm_sample",

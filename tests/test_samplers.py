@@ -279,6 +279,166 @@ class TestUniPCParity:
         np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+class TestModelWrapper:
+    """model_wrapper parity vs the reference model_wrapper + DPM_Solver
+    chain (dpm_solver.py:170-334): every parameterization x guidance mode
+    the reference supports, through a full 12-step order-2 multistep
+    solve."""
+
+    B, C, T = 2, 4, 24
+    STEPS, ORDER = 12, 2
+
+    @staticmethod
+    def _raw_torch(x, t, cond=None):
+        w = torch.cos(t.float() / 1000.0).reshape(-1, *([1] * (x.dim() - 1)))
+        out = torch.tanh(x) * w + 0.1 * x
+        if cond is not None:
+            out = out + 0.2 * cond
+        return out
+
+    @staticmethod
+    def _raw_jax(x, t, cond=None):
+        w = jnp.cos(t.astype(jnp.float32) / 1000.0).reshape(
+            (-1,) + (1,) * (x.ndim - 1))
+        out = jnp.tanh(x) * w + 0.1 * x
+        if cond is not None:
+            out = out + 0.2 * cond
+        return out
+
+    def _run_pair(self, schedule, ref_mod, model_type, **wrap_kw):
+        """Build both chains and return (ref_out, jax_out)."""
+        from ns2vc_tpu.diffusion import model_wrapper
+
+        betas = torch.tensor(schedule.betas, dtype=torch.float32)
+        ns = ref_mod.NoiseScheduleVP(schedule="discrete", betas=betas)
+
+        tkw = {k: torch.tensor(np.asarray(v)) if hasattr(v, "shape") else v
+               for k, v in wrap_kw.items()}
+        ref_fn = ref_mod.model_wrapper(self._raw_torch, ns,
+                                       model_type=model_type, **tkw)
+        solver = ref_mod.DPM_Solver(ref_fn, ns, algorithm_type="dpmsolver++")
+        torch.manual_seed(3)
+        x = torch.randn(self.B, self.C, self.T)
+        want = solver.sample(x.clone(), steps=self.STEPS, order=self.ORDER,
+                             skip_type="time_uniform",
+                             method="multistep").numpy()
+
+        jkw = {k: jnp.asarray(np.asarray(v)) if hasattr(v, "shape") else v
+               for k, v in wrap_kw.items()}
+        x0_fn = model_wrapper(self._raw_jax, schedule,
+                              model_type=model_type, **jkw)
+        got = np.asarray(dpmpp_2m_sample(
+            x0_fn, jnp.asarray(x.numpy()), schedule, steps=self.STEPS,
+            order=self.ORDER))
+        return want, got
+
+    @pytest.mark.parametrize("model_type", ["noise", "x_start", "v",
+                                            "score"])
+    def test_uncond(self, schedule, ref_samplers, model_type):
+        dpm, _ = ref_samplers
+        want, got = self._run_pair(schedule, dpm, model_type)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=3e-5)
+
+    @pytest.mark.parametrize("model_type", ["noise", "x_start", "v",
+                                            "score"])
+    def test_classifier_free_guidance(self, schedule, ref_samplers,
+                                      model_type):
+        dpm, _ = ref_samplers
+        rng = np.random.default_rng(7)
+        cond = rng.standard_normal((self.B, self.C, self.T)).astype(
+            np.float32)
+        uncond = np.zeros_like(cond)
+        want, got = self._run_pair(
+            schedule, dpm, model_type, guidance_type="classifier-free",
+            condition=cond, unconditional_condition=uncond,
+            guidance_scale=2.5)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=3e-5)
+
+    def test_classifier_free_scale_one_is_conditional(self, schedule,
+                                                      ref_samplers):
+        """scale == 1 short-circuits to a single conditional call
+        (dpm_solver.py:323-324)."""
+        dpm, _ = ref_samplers
+        rng = np.random.default_rng(9)
+        cond = rng.standard_normal((self.B, self.C, self.T)).astype(
+            np.float32)
+        want, got = self._run_pair(
+            schedule, dpm, "noise", guidance_type="classifier-free",
+            condition=cond, unconditional_condition=np.zeros_like(cond),
+            guidance_scale=1.0)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=3e-5)
+
+    @pytest.mark.parametrize("model_type", ["noise", "x_start"])
+    def test_classifier_guidance(self, schedule, ref_samplers, model_type):
+        """Classifier guidance: eps - s * sigma * grad log p(cond|x_t),
+        gradient via jax.grad vs torch.autograd (dpm_solver.py:300-321)."""
+        dpm, _ = ref_samplers
+        rng = np.random.default_rng(11)
+        cond = rng.standard_normal((self.B, self.C, self.T)).astype(
+            np.float32)
+        cond_t = torch.tensor(cond)
+        cond_j = jnp.asarray(cond)
+
+        def clf_torch(x, t, c):
+            return -0.5 * ((x - c) ** 2).sum(dim=(1, 2))
+
+        def clf_jax(x, t, c):
+            return -0.5 * jnp.sum((x - c) ** 2, axis=(1, 2))
+
+        from ns2vc_tpu.diffusion import model_wrapper
+
+        betas = torch.tensor(schedule.betas, dtype=torch.float32)
+        ns = dpm.NoiseScheduleVP(schedule="discrete", betas=betas)
+        ref_fn = dpm.model_wrapper(
+            self._raw_torch, ns, model_type=model_type,
+            guidance_type="classifier", condition=cond_t,
+            guidance_scale=0.8, classifier_fn=clf_torch)
+        solver = dpm.DPM_Solver(ref_fn, ns, algorithm_type="dpmsolver++")
+        torch.manual_seed(5)
+        x = torch.randn(self.B, self.C, self.T)
+        want = solver.sample(x.clone(), steps=self.STEPS, order=self.ORDER,
+                             skip_type="time_uniform",
+                             method="multistep").detach().numpy()
+
+        x0_fn = model_wrapper(
+            self._raw_jax, schedule, model_type=model_type,
+            guidance_type="classifier", condition=cond_j,
+            guidance_scale=0.8, classifier_fn=clf_jax)
+        got = np.asarray(dpmpp_2m_sample(
+            x0_fn, jnp.asarray(x.numpy()), schedule, steps=self.STEPS,
+            order=self.ORDER))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=3e-5)
+
+    def test_wrapped_model_jits_in_unipc(self, schedule):
+        """A wrapped (CFG, v-parameterization) model must trace cleanly
+        inside the jitted UniPC scan program."""
+        from ns2vc_tpu.diffusion import model_wrapper
+
+        rng = np.random.default_rng(13)
+        cond = jnp.asarray(
+            rng.standard_normal((self.B, self.C, self.T)).astype(np.float32))
+        x0_fn = model_wrapper(
+            self._raw_jax, schedule, model_type="v",
+            guidance_type="classifier-free", condition=cond,
+            unconditional_condition=jnp.zeros_like(cond),
+            guidance_scale=2.0)
+        run = jax.jit(lambda x: unipc_sample(x0_fn, x, schedule, steps=8))
+        out = np.asarray(run(jnp.asarray(
+            rng.standard_normal((self.B, self.C, self.T)).astype(
+                np.float32))))
+        assert np.isfinite(out).all()
+
+    def test_invalid_types_raise(self, schedule):
+        from ns2vc_tpu.diffusion import model_wrapper
+        with pytest.raises(ValueError):
+            model_wrapper(self._raw_jax, schedule, model_type="epsilon")
+        with pytest.raises(ValueError):
+            model_wrapper(self._raw_jax, schedule, guidance_type="cfg")
+        with pytest.raises(ValueError):
+            model_wrapper(self._raw_jax, schedule,
+                          guidance_type="classifier")
+
+
 class TestDDIM:
     def test_recovers_gaussian_mean(self, schedule):
         """DDIM with an exact-posterior x0 model on N(mu, I) data must land

@@ -51,15 +51,30 @@ class MicroBatcher:
                  max_batch: int = 16, flush_ms: float = 30.0,
                  bucket_step: int = 64,
                  infer_batch: Optional[Callable] = None,
+                 pad_batch: Optional[str] = "pow2",
                  **infer_kwargs):
         """`svc` is an ns2vc_tpu.infer.svc.Svc (or anything exposing
         `infer_batch(clips, refer_mel, f0s=..., uvs=..., **kw) -> list`;
         `infer_batch` overrides the bound method for testing).
         `infer_kwargs` are forwarded per dispatch (sample_method,
-        sampling_timesteps, auto_predict_f0, ...)."""
+        sampling_timesteps, auto_predict_f0, ...).
+
+        `pad_batch` bounds the set of batch *sizes* that reach the device:
+        Svc.infer_batch compiles one XLA program per (batch, length-bucket)
+        geometry, and a timeout flush can contain any count in
+        [1, max_batch] — unpadded, a serving process would accrete up to
+        max_batch compiles per length bucket (each minutes through the
+        remote-compile service). "pow2" (default) repeats the last clip up
+        to the next power of two (<= 1 + log2(max_batch) programs per
+        length bucket, <= 2x padded compute); "max" always pads to
+        max_batch (one program); None disables padding."""
+        if pad_batch not in (None, "pow2", "max"):
+            raise ValueError(f"pad_batch must be None|'pow2'|'max', "
+                             f"got {pad_batch!r}")
         self.svc = svc
         self.refer_mel = refer_mel
         self.max_batch = max_batch
+        self.pad_batch = pad_batch
         self.flush_s = flush_ms / 1e3
         self.bucket_step = bucket_step
         self.infer_kwargs = infer_kwargs
@@ -151,6 +166,13 @@ class MicroBatcher:
             if stopping and not self._pending and self._q.empty():
                 return
 
+    def _padded_size(self, n: int) -> int:
+        if self.pad_batch == "max":
+            return self.max_batch
+        if self.pad_batch == "pow2":
+            return min(1 << (n - 1).bit_length(), self.max_batch)
+        return n
+
     def _dispatch(self, batch: list[_Request]):
         # claim each future (RUNNING) so a late client-side cancel cannot
         # make set_result raise InvalidStateError mid-loop and poison the
@@ -166,15 +188,22 @@ class MicroBatcher:
             f0s = [r.f0 if r.f0 is not None
                    else np.zeros(r.content.shape[0], np.float32)
                    for r in batch] if use_f0 else None
+            uvs = [r.uv for r in batch] if use_f0 else None
+            clips = [r.content for r in batch]
+            n_real = len(clips)
+            n_disp = self._padded_size(n_real)
+            if n_disp > n_real:  # repeat the last clip; outputs discarded
+                clips = clips + [clips[-1]] * (n_disp - n_real)
+                if use_f0:
+                    f0s = f0s + [f0s[-1]] * (n_disp - n_real)
+                    uvs = uvs + [uvs[-1]] * (n_disp - n_real)
             outs = self._infer_batch(
-                [r.content for r in batch], self.refer_mel,
-                f0s=f0s,
-                uvs=[r.uv for r in batch] if use_f0 else None,
+                clips, self.refer_mel, f0s=f0s, uvs=uvs,
                 **self.infer_kwargs)
-            if len(outs) != len(batch):
+            if len(outs) != n_disp:
                 raise RuntimeError(
                     f"infer_batch returned {len(outs)} results for "
-                    f"{len(batch)} clips")
+                    f"{n_disp} clips")
             for r, out in zip(batch, outs):
                 r.future.set_result(out)
         except Exception as e:  # fail every request in the batch

@@ -114,6 +114,48 @@ class TestMicroBatcher:
         with pytest.raises(RuntimeError, match="closed"):
             mb.submit(make_clip(100))
 
+    def test_pow2_batch_padding(self):
+        """A 3-request flush dispatches as 4 clips (last repeated) so only
+        power-of-two batch geometries ever compile; padded outputs are
+        discarded and real results map in order."""
+        svc = FakeSvc(delay_s=0.05)
+        with MicroBatcher(svc, REFER, max_batch=16, flush_ms=30) as mb:
+            futs = [mb.submit(make_clip(100, i)) for i in range(3)]
+            outs = [f.result(timeout=10) for f in futs]
+        (call,) = svc.calls
+        assert len(call["sizes"]) == 4  # 3 -> next pow2
+        assert [o[0] for o in outs] == [0, 1, 2]
+
+    def test_pow2_padding_extends_f0(self):
+        svc = FakeSvc(delay_s=0.05)
+        with MicroBatcher(svc, REFER, max_batch=16, flush_ms=30) as mb:
+            futs = [mb.submit(make_clip(100, i), f0=np.full(100, 100.0 + i))
+                    for i in range(3)]
+            [f.result(timeout=10) for f in futs]
+        (call,) = svc.calls
+        assert len(call["f0s"]) == 4
+        assert call["f0s"][3][0] == 102.0  # last contour repeated
+
+    def test_pad_to_max_batch(self):
+        svc = FakeSvc()
+        with MicroBatcher(svc, REFER, max_batch=8, flush_ms=30,
+                          pad_batch="max") as mb:
+            out = mb.submit(make_clip(64, 5.0)).result(timeout=10)
+        assert len(svc.calls[0]["sizes"]) == 8
+        assert out[0] == 5.0
+
+    def test_pad_batch_none_keeps_exact_sizes(self):
+        svc = FakeSvc(delay_s=0.05)
+        with MicroBatcher(svc, REFER, max_batch=16, flush_ms=30,
+                          pad_batch=None) as mb:
+            futs = [mb.submit(make_clip(100, i)) for i in range(3)]
+            [f.result(timeout=10) for f in futs]
+        assert svc.calls[0]["sizes"] == [100, 100, 100]
+
+    def test_invalid_pad_batch_rejected(self):
+        with pytest.raises(ValueError, match="pad_batch"):
+            MicroBatcher(FakeSvc(), REFER, pad_batch="pow3")
+
     def test_infer_kwargs_forwarded(self):
         svc = FakeSvc()
         with MicroBatcher(svc, REFER, max_batch=1, flush_ms=50,
@@ -123,6 +165,7 @@ class TestMicroBatcher:
                                       "sample_method": "ddim"}
 
 
+@pytest.mark.slow
 def test_integration_real_svc():
     """One real dispatch through Svc.infer_batch on the tiny model: two
     concurrent submissions come back as one batch of correct waveforms."""

@@ -207,13 +207,32 @@ def convert_fairseq_hubert(sd, strict: bool = True) -> dict:
     return out
 
 
-def load_contentvec(ckpt_path: str):
+def load_contentvec(ckpt_path: str, heads: int | None = None):
     """torch.load a fairseq contentvec checkpoint -> (ContentVec, params).
     Both fairseq and our attention apply the standard 1/sqrt(head_dim)
-    scaling at runtime, so weights convert 1:1."""
+    scaling at runtime, so weights convert 1:1.
+
+    Module hyperparameters are inferred from the state dict (dim, ffn_dim,
+    num_layers, final_dim) so non-base-sized checkpoints load without
+    manual configuration; the head count is the one thing weights cannot
+    encode — fairseq's convention of 64-wide heads (12 heads at dim 768,
+    the checkpoint_best_legacy_500.pt geometry) is assumed unless `heads`
+    is passed."""
     import torch
 
     data = torch.load(ckpt_path, map_location="cpu")
     sd = data.get("model", data)
+    dim = int(sd["post_extract_proj.weight"].shape[0])
+    n_layers = 0
+    while f"encoder.layers.{n_layers}.fc1.weight" in sd:
+        n_layers += 1
+    model = ContentVec(
+        dim=dim,
+        heads=heads if heads is not None else max(1, dim // 64),
+        ffn_dim=int(sd["encoder.layers.0.fc1.weight"].shape[0]),
+        num_layers=n_layers,
+        output_layer=n_layers,
+        final_dim=int(sd["final_proj.weight"].shape[0]),
+    )
     params = {"params": convert_fairseq_hubert(sd)}
-    return ContentVec(), params
+    return model, params

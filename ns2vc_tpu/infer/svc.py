@@ -101,12 +101,10 @@ class Svc:
             self.vocos = Vocos()
             self.vocos_params = vocos_params
         elif vocos_ckpt and os.path.exists(vocos_ckpt):
-            from ns2vc_tpu.models.vocos import Vocos, convert_vocos_state_dict
-            import torch
+            from ns2vc_tpu.models.vocos import load_vocos
 
-            self.vocos = Vocos()
-            sd = torch.load(vocos_ckpt, map_location="cpu")
-            self.vocos_params = {"params": convert_vocos_state_dict(sd)}
+            self.vocos, self.vocos_params = load_vocos(
+                vocos_ckpt, hop_length=self.hop_size)
 
         self.crepe = self.crepe_params = None
         self._crepe_ckpt = crepe_ckpt

@@ -161,3 +161,30 @@ def convert_vocos_state_dict(sd, strict: bool = True) -> dict:
             ignore=(r"feature_extractor\..*", r"head\.istft\.window"),
             context="convert_vocos_state_dict")
     return out
+
+
+def load_vocos(ckpt_path: str, hop_length: int = 256):
+    """torch.load a vocos checkpoint -> (Vocos, params), with the module
+    hyperparameters inferred from the state dict itself (embed kernel ->
+    input_channels/dim, pwconv1 -> intermediate_dim, convnext count ->
+    num_layers, head.out -> n_fft) so non-default variants load without
+    manual configuration. `hop_length` is the one knob a state dict cannot
+    encode (the reference config.json's hop_length, config.json:25)."""
+    import torch
+
+    sd = torch.load(ckpt_path, map_location="cpu")
+    sd = sd.get("state_dict", sd)
+    embed = sd["backbone.embed.weight"]  # (dim, n_mels, 7)
+    n_layers = 0
+    while f"backbone.convnext.{n_layers}.dwconv.weight" in sd:
+        n_layers += 1
+    vocos = Vocos(
+        input_channels=int(embed.shape[1]),
+        dim=int(embed.shape[0]),
+        intermediate_dim=int(sd["backbone.convnext.0.pwconv1.weight"]
+                             .shape[0]),
+        num_layers=n_layers,
+        n_fft=int(sd["head.out.weight"].shape[0]) - 2,
+        hop_length=hop_length,
+    )
+    return vocos, {"params": convert_vocos_state_dict(sd)}

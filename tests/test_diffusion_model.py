@@ -89,6 +89,7 @@ class TestFullModelParity:
                                    out_ref, atol=1e-3)
 
 
+@pytest.mark.slow
 class TestTraining:
     def test_loss_and_overfit_step(self):
         import optax
@@ -147,6 +148,7 @@ class TestTraining:
         np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
 
 
+@pytest.mark.slow
 class TestGenerate:
     @pytest.mark.parametrize("method,steps", [("unipc", 6), ("ddim", 8),
                                               ("dpmsolver", 6)])
@@ -188,6 +190,7 @@ class TestGenerate:
         assert np.max(np.abs(got - ref)) > 0  # the knob actually rerouted
 
 
+@pytest.mark.slow
 class TestF0PredictorPath:
     def test_enabled_f0_loss_and_params(self):
         import dataclasses

@@ -62,6 +62,7 @@ class TestBucket:
         assert _bucket(65) == 128
 
 
+@pytest.mark.slow
 class TestSvc:
     def test_compute_features(self, svc, reference_dir):
         from ns2vc_tpu.utils.wavio import read_wav
@@ -120,6 +121,7 @@ class TestCrossfade:
         np.testing.assert_array_equal(crossfade_concat([a], 10), a)
 
 
+@pytest.mark.slow
 class TestInferBatch:
     def test_batched_matches_lengths(self, svc):
         rng = np.random.default_rng(1)
@@ -172,6 +174,7 @@ class TestCLIParser:
         assert args.wav_format == "flac"
 
 
+@pytest.mark.slow
 class TestOnlineF0Paths:
     def test_f0_filter_raises_on_silence(self, svc):
         from ns2vc_tpu.infer.svc import F0FilterException
@@ -214,6 +217,7 @@ class TestOnlineF0Paths:
         assert float(np.sum(f0_gated)) == 0.0
 
 
+@pytest.mark.slow
 class TestF0Conditioning:
     """f0/uv reach the sampler for f0_predictor-enabled checkpoints
     (reference passes them at model.py:605-608; round-1 Svc dropped them)."""
@@ -332,6 +336,7 @@ class TestF0Conditioning:
         assert not np.allclose(a, b)
 
 
+@pytest.mark.slow
 class TestCompiledInferPath:
     def test_no_retrace_at_same_bucket(self, svc):
         """The whole encode+sample+vocode program is one jit; repeat calls

@@ -1,6 +1,7 @@
 """LoRA adapter tests: zero-init identity, delta effect, trainability."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ class TestLoRA:
         assert all(any(t in k for t in ("to_q", "to_k", "to_v", "to_out_0"))
                    for k in lora)
 
+    @pytest.mark.slow
     def test_gradients_flow_through_lora_only(self):
         model, params, batch, rng = _tiny()
         lora = init_lora(rng, params, rank=2)

@@ -46,6 +46,7 @@ class TestSineSource:
 
 
 class TestGenerator:
+    @pytest.mark.slow
     def test_output_length_and_finite(self):
         gen = NSFHiFiGANGenerator(
             num_mels=16, upsample_initial_channel=32,
@@ -62,6 +63,7 @@ class TestGenerator:
 
 
 class TestDiscriminators:
+    @pytest.mark.slow
     def test_losses(self):
         y = jax.random.normal(jax.random.PRNGKey(0), (2, 640))
         y_hat = jax.random.normal(jax.random.PRNGKey(1), (2, 640))
@@ -77,6 +79,7 @@ class TestDiscriminators:
         outs_r2, outs_g2, fr2, fg2 = mpd.apply(pp, y, y)
         assert float(feature_loss(fr2, fg2)) < 1e-6
 
+    @pytest.mark.slow
     def test_msd(self):
         y = jax.random.normal(jax.random.PRNGKey(0), (1, 1024))
         msd = MultiScaleDiscriminator(num_scales=2)

@@ -19,6 +19,7 @@ from tests.ref_oracle import load_reference
 
 
 class TestRegistry:
+    @pytest.mark.slow
     def test_all_ops_run(self):
         rng = jax.random.PRNGKey(0)
         x = jax.random.normal(rng, (2, 60, 32))

@@ -89,6 +89,7 @@ def _one_step(cfg, model_parallel, batch_np, seed=0):
 
 
 class TestTensorParallelEquivalence:
+    @pytest.mark.slow
     def test_mp2_matches_mp1_full_topology(self):
         """One optimizer step at mp=2 (4x2 mesh) vs mp=1 (8x1) with
         identical seeds on the FULL reference topology (encoders
@@ -234,6 +235,7 @@ class TestMultiHostInit:
             assert "TOTAL 10.0" in out  # 1+2+3+4 across both processes
 
 
+@pytest.mark.slow
 class TestMultiHostTrainer:
     """VERDICT r3 #1: multi-host-COMPLETE training. A real 2-process CPU
     cluster (2 local devices each, gloo collectives) runs Trainer.train()
@@ -395,6 +397,7 @@ class TestShardedInference:
     encode + sampler scan; tolerance is rounding-only — the partitioned
     program fuses differently)."""
 
+    @pytest.mark.slow
     def test_generate_mel_batch_sharded_matches_replicated(self):
         from ns2vc_tpu.config import (
             DiffusionEncoderConfig, EncoderConfig,

@@ -35,6 +35,7 @@ class TestCastFloating:
 
 
 class TestBF16Model:
+    @pytest.mark.slow
     def test_loss_close_to_f32(self):
         cfg = tiny_cfg()
         model = NaturalSpeech2(cfg)

@@ -53,6 +53,8 @@ def processed_dir(tmp_path_factory, reference_dir):
     return f"{in_dir}_processed"
 
 
+pytestmark = pytest.mark.slow
+
 class TestTrainer:
     def test_train_steps_and_checkpoint(self, processed_dir, tmp_path):
         from ns2vc_tpu.train.trainer import Trainer

@@ -95,6 +95,7 @@ class TestUNetParity:
                                    atol=5e-4)
 
 
+@pytest.mark.slow
 class TestUNetTraining:
     def test_grads_flow_everywhere(self):
         mine = UNet1DConditionModel(**{k: v for k, v in SMALL.items()

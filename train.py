@@ -7,7 +7,7 @@ Usage:
 import argparse
 
 
-def main():
+def main(argv=None):
     # must run before any jax backend use (reference multi-node analogue:
     # `accelerate launch train.py`, README.md:60-64)
     from ns2vc_tpu.parallel.mesh import maybe_initialize_distributed
@@ -23,7 +23,7 @@ def main():
                    help="resume from the latest orbax checkpoint")
     p.add_argument("--warm_start", type=str, default=None,
                    help="reference model-{N}.pt to convert and load")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     trainer = Trainer(args.config, logs_folder=args.logs_folder)
     if args.warm_start:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ns2vc_tpu.ops.attention import multihead_attention
 from ns2vc_tpu.ops.masking import mask_to_bias
+from ns2vc_tpu.ops.norms import make_group_norm
 
 
 def get_timestep_embedding(
@@ -178,8 +179,7 @@ class Transformer1D(nn.Module):
     norm_num_groups: int = 8
 
     def setup(self):
-        self.norm = nn.GroupNorm(num_groups=self.norm_num_groups,
-                                 epsilon=1e-6)
+        self.norm = make_group_norm(self.norm_num_groups, epsilon=1e-6)
         self.proj_in = nn.Dense(self.channels)
         self.blocks_0 = BasicTransformerBlock(
             self.channels, self.heads, self.channels // self.heads,
@@ -317,15 +317,15 @@ class ResnetBlock1D(nn.Module):
                                groups=self.groups, eps=self.eps,
                                film_scale=scale, film_shift=shift)
         else:
-            h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                             name="norm1")(x)
+            h = make_group_norm(self.groups, epsilon=self.eps,
+                                name="norm1")(x)
             h = nn.silu(h)
             h = nn.Conv(self.out_channels, (3,), padding="SAME",
                         name="conv1")(h)
 
             scale, shift = jnp.split(t[:, None, :], 2, axis=-1)
-            h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                             name="norm2")(h)
+            h = make_group_norm(self.groups, epsilon=self.eps,
+                                name="norm2")(h)
             h = h * (1 + scale) + shift
             h = nn.silu(h)
             h = nn.Conv(self.out_channels, (3,), padding="SAME",
@@ -509,8 +509,8 @@ class UNet1DConditionModel(nn.Module):
             if not is_last:
                 h = Upsample1D(ch, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.norm_eps,
-                         name="conv_norm_out")(h)
+        h = make_group_norm(self.norm_num_groups, epsilon=self.norm_eps,
+                            name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(self.out_channels, (3,), padding="SAME",
                        name="conv_out")(h)

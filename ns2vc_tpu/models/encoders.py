@@ -89,21 +89,51 @@ class MultiheadSelfAttention(nn.Module):
 class ConvFFN(nn.Module):
     """Kernel-k FFN: conv(C->4C, k) * k^-0.5 -> relu -> dropout -> dense
     (reference TransformerFFNLayer, operations.py:644-692 — its k shifted
-    Linears with a single bias are exactly one SAME conv)."""
+    Linears with a single bias are exactly one SAME conv; the Conv1d-based
+    NewTransformerFFNLayer, operations.py:725-781, is the same module with
+    `padding` selecting SAME or causal LEFT).
+
+    `step` is the TPU-native form of the reference's incremental mode
+    (operations.py:740-752: keep the last k inputs, emit one frame) — a
+    pure function over an explicit (B, k-1, C) ring buffer instead of a
+    mutable incremental_state dict, matching LEFT-padded full-sequence
+    output frame for frame (zeros-initialized buffer == the zero pad)."""
 
     channels: int
     kernel_size: int = 9
     dropout: float = 0.0
+    padding: str = "SAME"  # "SAME" | "LEFT" (causal)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.Conv(4 * self.channels, (self.kernel_size,), padding="SAME",
+        pad = ("SAME" if self.padding == "SAME"
+               else [(self.kernel_size - 1, 0)])
+        h = nn.Conv(4 * self.channels, (self.kernel_size,), padding=pad,
                     name="ffn_1")(x)
         if self.kernel_size > 1:
             h = h * self.kernel_size ** -0.5
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(self.channels, name="ffn_2")(h)
+
+    def init_buffer(self, batch: int, dtype=jnp.float32) -> jnp.ndarray:
+        """(B, k-1, C) zeros — the causal pad the first steps see."""
+        return jnp.zeros((batch, self.kernel_size - 1, self.channels), dtype)
+
+    @nn.compact
+    def step(self, x_new: jnp.ndarray, buffer: jnp.ndarray):
+        """One streaming frame: x_new (B, 1, C) + buffer (B, k-1, C) ->
+        (y (B, 1, C), new_buffer). Same params as __call__."""
+        window = jnp.concatenate([buffer, x_new], axis=1)  # (B, k, C)
+        # VALID conv over exactly one window == one einsum against the
+        # ffn_1 kernel (k, C, 4C)
+        h = nn.Conv(4 * self.channels, (self.kernel_size,), padding="VALID",
+                    name="ffn_1")(window)
+        if self.kernel_size > 1:
+            h = h * self.kernel_size ** -0.5
+        h = nn.relu(h)
+        y = nn.Dense(self.channels, name="ffn_2")(h)
+        return y, window[:, 1:]
 
 
 class EncSALayer(nn.Module):

@@ -150,6 +150,15 @@ def conv_ffn(sd, p, kernel_size=9):
     }
 
 
+def new_conv_ffn(sd, p):
+    """reference NewTransformerFFNLayer (operations.py:725-781): a true
+    Conv1d -> Linear. With padding='LEFT' the conv sits inside an
+    nn.Sequential behind a ConstantPad1d, so its params live at
+    `ffn_1.1.*`; SAME keeps them at `ffn_1.*`. No tap-0 quirk here."""
+    c1 = f"{p}.ffn_1" if f"{p}.ffn_1.weight" in sd else f"{p}.ffn_1.1"
+    return {"ffn_1": conv1d(sd, c1), "ffn_2": linear(sd, f"{p}.ffn_2")}
+
+
 def enc_sa_layer(sd, p, kernel_size=9):
     """reference EncSALayer via TransformerEncoderLayer wrapper: params live
     under `<p>.op.` (model.py:50-59)."""

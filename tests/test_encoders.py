@@ -118,3 +118,55 @@ class TestTextTimeEmbeddingParity:
             {f"m.{k}": v for k, v in tte.state_dict().items()}, "m")}
         got = TextTimeEmbedding(256, 512, 64).apply(params, jnp.asarray(x.numpy()))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+class TestConvFFNStreaming:
+    """ConvFFN's LEFT/causal mode + streaming step (reference
+    NewTransformerFFNLayer, operations.py:725-781)."""
+
+    def test_streaming_matches_left_padded(self):
+        from ns2vc_tpu.models.encoders import ConvFFN
+
+        ffn = ConvFFN(channels=16, kernel_size=9, padding="LEFT")
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (2, 12, 16))
+        params = ffn.init(rng, x)
+        full = ffn.apply(params, x)
+
+        buf = ffn.init_buffer(2)
+        outs = []
+        for t in range(x.shape[1]):
+            y, buf = ffn.apply(params, x[:, t:t + 1], buf,
+                               method=ConvFFN.step)
+            outs.append(y)
+        np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, axis=1)),
+                                   np.asarray(full), atol=1e-5)
+
+    def test_new_ffn_parity_full_and_incremental(self, ref):
+        from ns2vc_tpu.models.encoders import ConvFFN
+
+        _, operations = ref
+        torch.manual_seed(7)
+        c, k, t, b = 24, 9, 14, 2
+        layer = operations.NewTransformerFFNLayer(
+            c, 4 * c, padding="LEFT", kernel_size=k).eval()
+        x = torch.randn(t, b, c)
+        with torch.no_grad():
+            want_full = layer(x).numpy()                     # (T, B, C)
+            inc = {}
+            want_steps = [layer(x[i:i + 1], incremental_state=inc).numpy()
+                          for i in range(t)]
+
+        sd = {f"m.{kk}": v for kk, v in layer.state_dict().items()}
+        params = {"params": cvt.new_conv_ffn(sd, "m")}
+        ffn = ConvFFN(channels=c, kernel_size=k, padding="LEFT")
+        xj = jnp.asarray(x.numpy().transpose(1, 0, 2))       # (B, T, C)
+        got_full = np.asarray(ffn.apply(params, xj)).transpose(1, 0, 2)
+        np.testing.assert_allclose(got_full, want_full, atol=2e-5)
+
+        buf = ffn.init_buffer(b)
+        for i in range(t):
+            y, buf = ffn.apply(params, xj[:, i:i + 1], buf,
+                               method=ConvFFN.step)
+            np.testing.assert_allclose(
+                np.asarray(y).transpose(1, 0, 2), want_steps[i], atol=2e-5)

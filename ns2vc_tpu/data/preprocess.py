@@ -92,15 +92,19 @@ def process_one(filename: str, in_dir: str, cfg: Config,
 def preprocess_dataset(in_dir: str, cfg: Optional[Config] = None,
                        contentvec_ckpt: Optional[str] = None,
                        num_workers: int = 8,
-                       files: Optional[Sequence[str]] = None) -> list[str]:
-    """Process every wav under in_dir. Returns the list of output wavs."""
+                       files: Optional[Sequence[str]] = None,
+                       contentvec=None, contentvec_params=None) -> list[str]:
+    """Process every wav under in_dir. Returns the list of output wavs.
+    A (contentvec, contentvec_params) pair may be injected directly
+    instead of `contentvec_ckpt` (tests / benchmarks)."""
     cfg = cfg or Config()
     if files is None:
         files = (glob.glob(f"{in_dir}/**/*.wav", recursive=True)
                  + glob.glob(f"{in_dir}/**/*.flac", recursive=True))
 
-    contentvec = contentvec_params = None
-    if contentvec_ckpt and os.path.exists(contentvec_ckpt):
+    if contentvec is not None:
+        pass
+    elif contentvec_ckpt and os.path.exists(contentvec_ckpt):
         from ns2vc_tpu.features.contentvec import load_contentvec
 
         contentvec, contentvec_params = load_contentvec(contentvec_ckpt)

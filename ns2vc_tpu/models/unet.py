@@ -119,11 +119,16 @@ class GEGLUFeedForward(nn.Module):
     """GEGLU feed-forward, mult 4 (reference unet1d/attention.py:310-388;
     torch F.gelu is the exact erf form).
 
-    NS2VC_GELU=tanh swaps in the tanh approximation (experiment knob,
-    read at trace time): its max absolute error (~1e-3 near |x|~1) is
-    below bf16 resolution, so for bf16 execution it is numerically free
-    if the erf evaluation turns out to dominate the FF output-fusions
-    (scripts/bench_geglu.py measures exactly this)."""
+    The gelu form is tied to the compute dtype: float32 uses the exact
+    erf (bit-comparable to the reference — every parity test runs here),
+    bfloat16 uses the tanh approximation. The approximation's max
+    absolute error (~1e-3 near |x|~1) is below bf16 resolution, while
+    the erf evaluation dominates the FF dot output-fusions on the
+    sampler hot path — measured end-to-end on v5e: B=16 synthesis
+    380.7x -> 460.8x real time (+21%) from this swap alone (round-4
+    sweep; scripts/bench_geglu.py isolates the fusion). NS2VC_GELU=
+    {erf,tanh} forces either form regardless of dtype (read at trace
+    time)."""
 
     dim: int
     mult: int = 4
@@ -133,7 +138,11 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         hidden = nn.Dense(inner * 2, name="proj")(x)
         h, gate = jnp.split(hidden, 2, axis=-1)
-        approx = os.environ.get("NS2VC_GELU") == "tanh"
+        force = os.environ.get("NS2VC_GELU")
+        if force in ("erf", "tanh"):
+            approx = force == "tanh"
+        else:
+            approx = gate.dtype == jnp.bfloat16
         h = h * nn.gelu(gate, approximate=approx)
         return nn.Dense(self.dim, name="out")(h)
 

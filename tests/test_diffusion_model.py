@@ -189,6 +189,35 @@ class TestGenerate:
         np.testing.assert_allclose(got, ref, atol=5e-4)
         assert np.max(np.abs(got - ref)) > 0  # the knob actually rerouted
 
+    def test_bf16_tanh_gelu_within_bf16_rounding(self, monkeypatch):
+        """The bf16 sampling path uses tanh gelu by default (models/
+        unet.py::GEGLUFeedForward dtype dispatch). The swap must not
+        perturb the sampled mel beyond what bf16 rounding itself costs:
+        |bf16-default − f32| stays within 2x of |bf16-erf − f32|."""
+        cfg = small_config()
+        model = NaturalSpeech2(cfg)
+        rng = jax.random.PRNGKey(0)
+        b, t, tp = 1, 16, 12
+        c = jax.random.normal(rng, (b, t, 256))
+        refer = jax.random.normal(rng, (b, tp, 100))
+        batch = {"c": c, "refer": refer, "spec": jnp.zeros((b, t, 100)),
+                 "lengths": jnp.array([t]), "refer_lengths": jnp.array([tp])}
+        params = model.init(rng, batch, rng)
+        args = (model, params, c, refer, jnp.array([t]), jnp.array([tp]),
+                rng)
+        monkeypatch.delenv("NS2VC_GELU", raising=False)
+        mel_f32 = np.asarray(generate_mel(*args, method="unipc", steps=6))
+        mel_bf_tanh = np.asarray(generate_mel(
+            *args, method="unipc", steps=6, compute_dtype=jnp.bfloat16))
+        monkeypatch.setenv("NS2VC_GELU", "erf")
+        mel_bf_erf = np.asarray(generate_mel(
+            *args, method="unipc", steps=6, compute_dtype=jnp.bfloat16))
+        # dispatch actually switched forms in bf16
+        assert np.max(np.abs(mel_bf_tanh - mel_bf_erf)) > 0
+        err_tanh = np.max(np.abs(mel_bf_tanh - mel_f32))
+        err_erf = np.max(np.abs(mel_bf_erf - mel_f32))
+        assert err_tanh <= 2.0 * err_erf + 1e-3, (err_tanh, err_erf)
+
 
 @pytest.mark.slow
 class TestF0PredictorPath:

@@ -201,20 +201,45 @@ class TestDualTransformer:
 
 
 class TestGeluKnob:
-    def test_tanh_gelu_within_bf16_tolerance(self, monkeypatch):
-        """NS2VC_GELU=tanh swaps the FF gelu for the tanh approximation
-        (experiment knob, models/unet.py::GEGLUFeedForward). The approx
-        error (~1e-3 max) must stay below bf16 resolution of the FF
-        output."""
+    """The GEGLU gelu form is dtype-dispatched (models/unet.py::
+    GEGLUFeedForward): exact erf in float32 (the parity dtype), tanh
+    approximation in bfloat16 (below bf16 resolution, +21% measured
+    end-to-end synthesis); NS2VC_GELU={erf,tanh} forces either."""
+
+    def _ff(self):
         from ns2vc_tpu.models.unet import GEGLUFeedForward
 
         ff = GEGLUFeedForward(dim=32)
         rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.standard_normal((2, 12, 32)), jnp.float32)
-        params = ff.init(jax.random.PRNGKey(0), x)
+        x32 = jnp.asarray(rng.standard_normal((2, 12, 32)), jnp.float32)
+        params = ff.init(jax.random.PRNGKey(0), x32)
+        return ff, params, x32
+
+    def test_f32_default_is_exact_erf(self, monkeypatch):
+        ff, params, x32 = self._ff()
         monkeypatch.delenv("NS2VC_GELU", raising=False)
-        ref = np.asarray(ff.apply(params, x))
+        default = np.asarray(ff.apply(params, x32))
+        monkeypatch.setenv("NS2VC_GELU", "erf")
+        erf = np.asarray(ff.apply(params, x32))
+        np.testing.assert_array_equal(default, erf)
+        # and the forced tanh path actually differs in f32
         monkeypatch.setenv("NS2VC_GELU", "tanh")
-        got = np.asarray(ff.apply(params, x))
-        np.testing.assert_allclose(got, ref, atol=2e-2)
-        assert np.max(np.abs(got - ref)) > 0  # the knob actually switched
+        tanh = np.asarray(ff.apply(params, x32))
+        assert np.max(np.abs(tanh - default)) > 0
+        np.testing.assert_allclose(tanh, default, atol=2e-2)
+
+    def test_bf16_default_is_tanh_within_resolution(self, monkeypatch):
+        from ns2vc_tpu.utils.precision import cast_floating
+
+        ff, params, x32 = self._ff()
+        pbf = cast_floating(params, jnp.bfloat16)
+        xbf = x32.astype(jnp.bfloat16)
+        monkeypatch.delenv("NS2VC_GELU", raising=False)
+        default = np.asarray(ff.apply(pbf, xbf), np.float32)
+        monkeypatch.setenv("NS2VC_GELU", "tanh")
+        tanh = np.asarray(ff.apply(pbf, xbf), np.float32)
+        np.testing.assert_array_equal(default, tanh)
+        # vs the forced-erf bf16 path: rounding-scale difference only
+        monkeypatch.setenv("NS2VC_GELU", "erf")
+        erf = np.asarray(ff.apply(pbf, xbf), np.float32)
+        np.testing.assert_allclose(default, erf, atol=3e-2)

@@ -5,12 +5,8 @@
 test:
 	python -m pytest tests/ -q
 
-test-fast:  # skip the slow full-model/trainer integration tests
-	python -m pytest tests/ -q \
-	  --ignore=tests/test_trainer.py \
-	  --ignore=tests/test_diffusion_model.py \
-	  --ignore=tests/test_infer.py \
-	  --ignore=tests/test_unet.py
+test-fast:  # fast tier (~6 min on 1 core; see tests/README.md)
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

@@ -141,15 +141,28 @@ class MicroBatcher:
             try:
                 wait = (None if deadline is None
                         else max(0.0, deadline - time.monotonic()))
-                item = self._q.get(timeout=wait) if not stopping \
-                    else self._q.get_nowait()
+                items = [self._q.get(timeout=wait) if not stopping
+                         else self._q.get_nowait()]
+            except queue.Empty:
+                items = []
+            # drain the whole backlog into _pending BEFORE any dispatch
+            # decision: _dispatch blocks this thread for the full device
+            # call, so requests that arrived meanwhile are sitting in _q.
+            # Taking one per iteration would pair an always-expired flush
+            # deadline with a single pending request — the worker would
+            # dispatch aged singletons forever exactly when batching
+            # matters most (measured: mean_batch 1.0 at 90 clips/s).
+            while True:
+                try:
+                    items.append(self._q.get_nowait())
+                except queue.Empty:
+                    break
+            for item in items:
                 if item is None:
                     stopping = True
                 else:
                     b = _bucket(item.content.shape[0], self.bucket_step)
                     self._pending.setdefault(b, []).append(item)
-            except queue.Empty:
-                pass
 
             now = time.monotonic()
             for b in sorted(self._pending):

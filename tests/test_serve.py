@@ -86,6 +86,24 @@ class TestMicroBatcher:
         assert sum(sizes) == 10 and max(sizes) <= 4
         assert [o[0] for o in outs] == list(range(10))
 
+    def test_backlog_coalesces_under_overload(self):
+        """Requests that queue up while the worker is blocked inside a
+        dispatch must come out as ONE batch, even though each is already
+        older than flush_ms when the worker next looks. Regression: the
+        worker used to move a single request per loop iteration from the
+        queue to the pending table, so an expired flush deadline always
+        met exactly one pending request — measured mean_batch 1.0 at
+        90 clips/s offered (scripts/bench_serving.py, round 4)."""
+        svc = FakeSvc(delay_s=0.15)
+        with MicroBatcher(svc, REFER, max_batch=16, flush_ms=10) as mb:
+            first = mb.submit(make_clip(100, 99.0))  # occupies the worker
+            time.sleep(0.06)  # worker is now blocked in _dispatch
+            futs = [mb.submit(make_clip(100, i)) for i in range(8)]
+            assert first.result(timeout=10)[0] == 99.0
+            outs = [f.result(timeout=10) for f in futs]
+        assert [o[0] for o in outs] == list(range(8))
+        assert sorted(len(c["sizes"]) for c in svc.calls) == [1, 8]
+
     def test_mixed_f0_zero_fill(self):
         svc = FakeSvc()
         with MicroBatcher(svc, REFER, max_batch=2, flush_ms=200) as mb:

@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampling_timesteps", type=int, default=30)
     p.add_argument("--solver_order", type=int, default=2, choices=[1, 2, 3],
                    help="multistep order for dpmsolver/unipc")
+    p.add_argument("--no_ema", action="store_true", default=False,
+                   help="deploy the raw optimizer params even when the "
+                        "checkpoint carries EMA weights (default: EMA, "
+                        "matching the trainer's own eval sampling)")
     p.add_argument("-wf", "--wav_format", type=str, default="wav")
     p.add_argument("--raw_dir", type=str, default="raw")
     p.add_argument("--out_dir", type=str, default="output")
@@ -100,7 +104,8 @@ def main(argv=None):
               contentvec_ckpt=args.contentvec_ckpt,
               vocos_ckpt=args.vocos_ckpt,
               crepe_ckpt=args.crepe_ckpt,
-              compute_dtype=args.compute_dtype)
+              compute_dtype=args.compute_dtype,
+              use_ema_params=not args.no_ema)
     os.makedirs(args.out_dir, exist_ok=True)
 
     trans = args.trans * len(args.clean_names) if len(args.trans) == 1 \

@@ -69,8 +69,16 @@ class Svc:
                  contentvec_params: Optional[dict] = None,
                  vocos_params: Optional[dict] = None,
                  crepe_params: Optional[dict] = None,
-                 compute_dtype: Optional[str] = None):
+                 compute_dtype: Optional[str] = None,
+                 use_ema_params: bool = True):
+        """`use_ema_params` (default True): when loading an orbax
+        checkpoint that carries EMA weights (TrainConfig.use_ema), deploy
+        the EMA params — the same weights the trainer's own milestone eval
+        samples with (train/trainer.py:711-713; the reference Trainer
+        eval-samples the weights it saves, reference model.py:905-942).
+        False forces the raw optimizer params (infer.py --no_ema)."""
         self.cfg = config or load_config(config_path)
+        self.use_ema_params = use_ema_params
         self.compute_dtype = (None if compute_dtype in (None, "float32")
                               else jnp.bfloat16)
         self.target_sample = self.cfg.data.sampling_rate
@@ -129,7 +137,19 @@ class Svc:
         mgr = ocp.CheckpointManager(os.path.abspath(path))
         step = mgr.latest_step()
         restored = mgr.restore(step)
-        return restored["params"] if "params" in restored else restored.params
+
+        def get(field):
+            if hasattr(restored, "get"):  # dict-restored TrainState
+                return restored.get(field)
+            return getattr(restored, field, None)
+
+        # deploy the EMA weights when the checkpoint has them — they are
+        # what the trainer's own eval sampling uses (trainer.py:711-713)
+        ema = get("ema_params") if self.use_ema_params else None
+        if ema is not None and jax.tree.leaves(ema):
+            return ema
+        params = get("params")
+        return params if params is not None else restored
 
     def _load_crepe(self):
         if self.crepe is None:
@@ -211,11 +231,18 @@ class Svc:
     # -- the compiled program ---------------------------------------------
 
     def _get_infer_fn(self, method: str, steps: int, order: int,
-                      use_f0: bool, auto_predict_f0: bool, vocode: bool):
+                      use_f0: bool, auto_predict_f0: bool, vocode: bool,
+                      output: str = "float32"):
         """One jitted end-to-end program per sampler config: encode +
         conditioning precompute + sampler scan + Vocos decode. Shape
-        buckets key retraces; repeat calls at a bucket hit the cache."""
-        key = (method, steps, order, use_f0, auto_predict_f0, vocode)
+        buckets key retraces; repeat calls at a bucket hit the cache.
+
+        output='pcm16' quantizes the waveform to int16 ON DEVICE (the
+        serving wire format is PCM16 anyway), halving the D2H readback
+        bytes — the measured serving bottleneck on this host
+        (scripts/bench_serving.py round 4: ~740 ms readback/dispatch vs
+        152 ms device time)."""
+        key = (method, steps, order, use_f0, auto_predict_f0, vocode, output)
         fn = self._infer_cache.get(key)
         if fn is not None:
             return fn
@@ -233,6 +260,10 @@ class Svc:
             wav = None
             if vocode:
                 wav = vocos.apply(vocos_params, mel)
+                if output == "pcm16":
+                    wav = jnp.clip(jnp.round(wav.astype(jnp.float32)
+                                             * 32767.0),
+                                   -32768.0, 32767.0).astype(jnp.int16)
             return mel, wav
 
         fn = jax.jit(run)
@@ -314,17 +345,44 @@ class Svc:
                     seed: int = 0, order: int = 2,
                     f0s: Optional[list] = None,
                     uvs: Optional[list] = None,
-                    auto_predict_f0: bool = False) -> list:
+                    auto_predict_f0: bool = False,
+                    output: str = "float32") -> list:
         """Convert many clips in ONE device batch — the sampler scan is
         batch-parallel, so N clips cost ~one clip of latency. `clips` is a
-        list of (T_i, 256) content arrays; returns a list of waveforms.
-        All clips are padded to the max bucket and masked by length.
+        list of (T_i, 256) content arrays; returns a list of waveforms
+        (float32, or int16 PCM with output='pcm16' — quantized on device,
+        halving readback bytes). All clips are padded to the max bucket
+        and masked by length.
 
         `f0s`/`uvs` are per-clip (T_i,) arrays; like the reference, f0
         conditioning flows on EVERY inference path when the checkpoint has
         it enabled (reference model.py:605-608)."""
+        return self.infer_batch_async(
+            clips, refer_mel, sample_method=sample_method,
+            sampling_timesteps=sampling_timesteps, seed=seed, order=order,
+            f0s=f0s, uvs=uvs, auto_predict_f0=auto_predict_f0,
+            output=output)()
+
+    def infer_batch_async(self, clips: list, refer_mel: np.ndarray,
+                          sample_method: str = "unipc",
+                          sampling_timesteps: int = 30,
+                          seed: int = 0, order: int = 2,
+                          f0s: Optional[list] = None,
+                          uvs: Optional[list] = None,
+                          auto_predict_f0: bool = False,
+                          output: str = "float32"):
+        """infer_batch, split at the device/host boundary: enqueues the
+        whole compiled program (JAX dispatch is asynchronous) and returns
+        a zero-arg `finish() -> list[np.ndarray]` that blocks on the
+        host readback. A serving loop can dispatch batch N+1 while batch
+        N's waveforms are still transferring (infer/serve.py pipelines
+        exactly this; the reference's Svc.infer is fully serial,
+        reference inference/infer_tool.py:189-206)."""
         if not clips:
-            return []
+            return lambda: []
+        if output not in ("float32", "pcm16"):
+            raise ValueError(f"output must be 'float32'|'pcm16', "
+                             f"got {output!r}")
         t_lens = [c.shape[0] for c in clips]
         t_pad = _bucket(max(t_lens), 64)
         tp_len = refer_mel.shape[0]
@@ -362,13 +420,18 @@ class Svc:
         fn = self._get_infer_fn(sample_method, sampling_timesteps, order,
                                 use_f0=use_f0,
                                 auto_predict_f0=auto_predict_f0,
-                                vocode=True)
+                                vocode=True, output=output)
         _, wav = fn(self.params, self.vocos_params, jnp.asarray(c_in),
                     jnp.asarray(r_in), jnp.asarray(t_lens),
                     jnp.full((n,), tp_len), f0_in, uv_in,
                     jax.random.PRNGKey(seed))
-        wav = np.asarray(wav)
-        return [wav[i, : t_lens[i] * self.hop_size] for i in range(n)]
+        hop = self.hop_size
+
+        def finish() -> list:
+            w = np.asarray(wav)  # the only host sync: D2H readback
+            return [w[i, : t_lens[i] * hop] for i in range(n)]
+
+        return finish
 
     # -- sliced long-form inference (working replacement for the
     #    reference's broken slice_inference, infer_tool.py:218-287) -------

@@ -11,13 +11,23 @@ callers `submit()` clips from any thread and get a Future; a worker
 thread drains the queue, groups requests by content-length bucket (so a
 short clip is never padded to a long clip's geometry — each bucket is
 one cached XLA program, see Svc._get_infer_fn), and dispatches one
-`Svc.infer_batch` per bucket.
+`Svc.infer_batch_async` per bucket.
 
 Batch assembly policy: dispatch when `max_batch` requests of one bucket
 are waiting, or when the oldest waiting request has aged `flush_ms`
 (latency bound under low load). One refer/speaker per MicroBatcher —
 run one instance per conversion target (the prompt conditioning is
 per-batch state, reference model.py:605-608).
+
+Pipelining (round-5): dispatch and readback run on SEPARATE threads.
+JAX dispatch is asynchronous, so the worker enqueues batch N+1's device
+program while the completer thread is still blocked in batch N's host
+readback (`np.asarray`) — the two overlap on the device/transfer level.
+Round-4 measured the serialized design saturating at ~21 clips/s with
+~740 ms readback per dispatch vs 152 ms device time (bench_serving);
+the pipeline plus device-side int16 PCM output (`output='pcm16'` in
+infer_kwargs, halving D2H bytes) attacks exactly that. `max_inflight`
+bounds outstanding device batches (depth 2 = classic double buffering).
 """
 
 from __future__ import annotations
@@ -52,12 +62,14 @@ class MicroBatcher:
                  bucket_step: int = 64,
                  infer_batch: Optional[Callable] = None,
                  pad_batch: Optional[str] = "pow2",
+                 max_inflight: int = 2,
                  **infer_kwargs):
         """`svc` is an ns2vc_tpu.infer.svc.Svc (or anything exposing
         `infer_batch(clips, refer_mel, f0s=..., uvs=..., **kw) -> list`;
-        `infer_batch` overrides the bound method for testing).
+        `infer_batch` overrides for testing — an override is treated as
+        an opaque synchronous call and runs on the completion thread).
         `infer_kwargs` are forwarded per dispatch (sample_method,
-        sampling_timesteps, auto_predict_f0, ...).
+        sampling_timesteps, output='pcm16', ...).
 
         `pad_batch` bounds the set of batch *sizes* that reach the device:
         Svc.infer_batch compiles one XLA program per (batch, length-bucket)
@@ -67,10 +79,21 @@ class MicroBatcher:
         remote-compile service). "pow2" (default) repeats the last clip up
         to the next power of two (<= 1 + log2(max_batch) programs per
         length bucket, <= 2x padded compute); "max" always pads to
-        max_batch (one program); None disables padding."""
+        max_batch (one program); None disables padding. Note the low-load
+        latency/energy tradeoff: a timeout-flushed singleton dispatches
+        padded device work (up to 2x compute under "pow2", max_batch x
+        under "max") — the price of a bounded compile count; pad_batch=None
+        restores exact sizes if compiles are already warm.
+
+        `max_inflight` bounds concurrently outstanding device batches:
+        1 serializes dispatch and readback (the round-4 behavior), 2
+        (default) overlaps batch N+1's device compute with batch N's host
+        readback."""
         if pad_batch not in (None, "pow2", "max"):
             raise ValueError(f"pad_batch must be None|'pow2'|'max', "
                              f"got {pad_batch!r}")
+        if max_inflight < 1:
+            raise ValueError(f"max_inflight must be >= 1, got {max_inflight}")
         self.svc = svc
         self.refer_mel = refer_mel
         self.max_batch = max_batch
@@ -78,14 +101,31 @@ class MicroBatcher:
         self.flush_s = flush_ms / 1e3
         self.bucket_step = bucket_step
         self.infer_kwargs = infer_kwargs
-        self._infer_batch = infer_batch or svc.infer_batch
+        # (n_real, n_dispatched) per dispatch, appended at dispatch time —
+        # serving observability (bench_serving reads it for the batch mix)
+        self.dispatch_log: list[tuple[int, int]] = []
+        self._infer_sync: Optional[Callable] = None
+        self._infer_async: Optional[Callable] = None
+        if infer_batch is not None:
+            self._infer_sync = infer_batch
+        elif hasattr(svc, "infer_batch_async"):
+            self._infer_async = svc.infer_batch_async
+        else:
+            self._infer_sync = svc.infer_batch
         self._q: queue.Queue = queue.Queue()
+        self._done_q: queue.Queue = queue.Queue()
+        self._inflight = threading.Semaphore(max_inflight)
         self._pending: dict[int, list[_Request]] = {}
         self._closed = False
+        self._stopping = False
         # orders every submit() put against close()'s sentinel put: a
         # submit that passed the closed-check is guaranteed to enqueue
         # BEFORE the None sentinel, so the worker always drains it
         self._submit_lock = threading.Lock()
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True,
+                                           name="ns2vc-mb-readback")
+        self._completer.start()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="ns2vc-microbatcher")
         self._worker.start()
@@ -115,11 +155,12 @@ class MicroBatcher:
         return req.future
 
     def close(self, timeout: Optional[float] = None):
-        """Flush everything queued, then stop the worker."""
+        """Flush everything queued, then stop both threads."""
         with self._submit_lock:
             self._closed = True
             self._q.put(None)  # wake the worker
         self._worker.join(timeout)
+        self._completer.join(timeout)
 
     def __enter__(self):
         return self
@@ -127,56 +168,81 @@ class MicroBatcher:
     def __exit__(self, *exc):
         self.close()
 
-    # -- worker side -------------------------------------------------------
+    # -- worker side (batch assembly + device dispatch) ---------------------
 
     def _oldest_deadline(self) -> Optional[float]:
         t = [reqs[0].t_submit for reqs in self._pending.values() if reqs]
         return (min(t) + self.flush_s) if t else None
 
+    def _absorb(self, items):
+        for item in items:
+            if item is None:
+                self._stopping = True
+            else:
+                b = _bucket(item.content.shape[0], self.bucket_step)
+                self._pending.setdefault(b, []).append(item)
+
+    def _drain(self):
+        """Move the whole queue backlog into _pending BEFORE any dispatch
+        decision — requests that arrived while this thread was blocked
+        (on the queue, or on the in-flight semaphore) must coalesce into
+        one batch, not dribble out as aged singletons (measured round 4:
+        mean_batch 1.0 at 90 clips/s offered before this rule)."""
+        items = []
+        while True:
+            try:
+                items.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        self._absorb(items)
+
+    def _pick_bucket(self) -> Optional[int]:
+        """Smallest bucket with a dispatchable batch (full, aged out, or
+        flushing for close), else None."""
+        now = time.monotonic()
+        for b in sorted(self._pending):
+            reqs = self._pending[b]
+            if reqs and (len(reqs) >= self.max_batch or self._stopping
+                         or reqs[0].t_submit + self.flush_s <= now):
+                return b
+        return None
+
     def _run(self):
-        stopping = False
         while True:
             # block until there is work or the oldest pending batch ages out
             deadline = self._oldest_deadline()
             try:
                 wait = (None if deadline is None
                         else max(0.0, deadline - time.monotonic()))
-                items = [self._q.get(timeout=wait) if not stopping
+                items = [self._q.get(timeout=wait) if not self._stopping
                          else self._q.get_nowait()]
             except queue.Empty:
                 items = []
-            # drain the whole backlog into _pending BEFORE any dispatch
-            # decision: _dispatch blocks this thread for the full device
-            # call, so requests that arrived meanwhile are sitting in _q.
-            # Taking one per iteration would pair an always-expired flush
-            # deadline with a single pending request — the worker would
-            # dispatch aged singletons forever exactly when batching
-            # matters most (measured: mean_batch 1.0 at 90 clips/s).
-            while True:
-                try:
-                    items.append(self._q.get_nowait())
-                except queue.Empty:
-                    break
-            for item in items:
-                if item is None:
-                    stopping = True
-                else:
-                    b = _bucket(item.content.shape[0], self.bucket_step)
-                    self._pending.setdefault(b, []).append(item)
+            self._absorb(items)
+            self._drain()
 
-            now = time.monotonic()
-            for b in sorted(self._pending):
+            while True:
+                b = self._pick_bucket()
+                if b is None:
+                    break
+                # claim an in-flight slot BEFORE popping the batch: if the
+                # pipeline is full this blocks, and everything arriving
+                # meanwhile coalesces into the batch we then pop
+                self._inflight.acquire()
+                self._drain()
+                b = self._pick_bucket()
+                if b is None:  # arrivals may have been cancels only
+                    self._inflight.release()
+                    break
                 reqs = self._pending[b]
-                while reqs and (
-                        len(reqs) >= self.max_batch or stopping
-                        or reqs[0].t_submit + self.flush_s <= now):
-                    batch, self._pending[b] = (reqs[: self.max_batch],
-                                               reqs[self.max_batch :])
-                    reqs = self._pending[b]
-                    self._dispatch(batch)
+                batch, self._pending[b] = (reqs[: self.max_batch],
+                                           reqs[self.max_batch :])
+                if not self._start(batch):
+                    self._inflight.release()
             self._pending = {b: r for b, r in self._pending.items() if r}
 
-            if stopping and not self._pending and self._q.empty():
+            if self._stopping and not self._pending and self._q.empty():
+                self._done_q.put(None)  # completer drains FIFO, then exits
                 return
 
     def _padded_size(self, n: int) -> int:
@@ -186,14 +252,17 @@ class MicroBatcher:
             return min(1 << (n - 1).bit_length(), self.max_batch)
         return n
 
-    def _dispatch(self, batch: list[_Request]):
+    def _start(self, batch: list[_Request]) -> bool:
+        """Assemble + dispatch one batch; hand the readback to the
+        completer. Returns False when nothing was handed off (the caller
+        releases the in-flight slot)."""
         # claim each future (RUNNING) so a late client-side cancel cannot
         # make set_result raise InvalidStateError mid-loop and poison the
         # rest of the batch; already-cancelled requests drop out here
         batch = [r for r in batch
                  if r.future.set_running_or_notify_cancel()]
         if not batch:
-            return
+            return False
         use_f0 = any(r.f0 is not None for r in batch)
         try:
             # a mixed batch (some clips without f0) still dispatches as one
@@ -210,16 +279,48 @@ class MicroBatcher:
                 if use_f0:
                     f0s = f0s + [f0s[-1]] * (n_disp - n_real)
                     uvs = uvs + [uvs[-1]] * (n_disp - n_real)
-            outs = self._infer_batch(
-                clips, self.refer_mel, f0s=f0s, uvs=uvs,
-                **self.infer_kwargs)
-            if len(outs) != n_disp:
-                raise RuntimeError(
-                    f"infer_batch returned {len(outs)} results for "
-                    f"{n_disp} clips")
-            for r, out in zip(batch, outs):
-                r.future.set_result(out)
-        except Exception as e:  # fail every request in the batch
+            if self._infer_async is not None:
+                # enqueues the device program and returns immediately
+                # (async dispatch); finish() is the blocking readback
+                finish = self._infer_async(
+                    clips, self.refer_mel, f0s=f0s, uvs=uvs,
+                    **self.infer_kwargs)
+            else:
+                # opaque sync callable: defer the whole call to the
+                # completer thread so this thread keeps assembling batches
+                call, kw = self._infer_sync, self.infer_kwargs
+
+                def finish(clips=clips, f0s=f0s, uvs=uvs):
+                    return call(clips, self.refer_mel, f0s=f0s, uvs=uvs,
+                                **kw)
+        except Exception as e:  # dispatch-time failure: fail this batch
             for r in batch:
                 if not r.future.done():
                     r.future.set_exception(e)
+            return False
+        self.dispatch_log.append((n_real, n_disp))
+        self._done_q.put((batch, finish, n_disp))
+        return True
+
+    # -- completer side (host readback + future resolution) -----------------
+
+    def _complete_loop(self):
+        while True:
+            item = self._done_q.get()
+            if item is None:
+                return
+            batch, finish, n_disp = item
+            try:
+                outs = finish()
+                if len(outs) != n_disp:
+                    raise RuntimeError(
+                        f"infer_batch returned {len(outs)} results for "
+                        f"{n_disp} clips")
+                for r, out in zip(batch, outs):
+                    r.future.set_result(out)
+            except Exception as e:  # fail every request in the batch
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+            finally:
+                self._inflight.release()

@@ -84,8 +84,13 @@ def build_svc(steps: int):
 
 
 def run_load(svc, refer, clips, rate: float, duration: float,
-             max_batch: int, flush_ms: float, steps: int, seed: int):
-    """One offered-load point. Returns the result row."""
+             max_batch: int, flush_ms: float, steps: int, seed: int,
+             max_inflight: int = 2, output: str = "pcm16"):
+    """One offered-load point. Returns the result row.
+
+    Batch-mix stats come from MicroBatcher.dispatch_log (appended at
+    dispatch time) — wrapping infer_batch would force the serialized
+    sync path and defeat the dispatch/readback pipeline under test."""
     from ns2vc_tpu.infer.serve import MicroBatcher
 
     rng = np.random.default_rng(seed)
@@ -93,18 +98,11 @@ def run_load(svc, refer, clips, rate: float, duration: float,
     gaps = rng.exponential(1.0 / rate, size=n)
     arrivals = np.cumsum(gaps)  # seconds from t0
 
-    dispatch_sizes: list[int] = []
-    inner = svc.infer_batch
-
-    def recording_infer_batch(cl, rm, **kw):
-        dispatch_sizes.append(len(cl))
-        return inner(cl, rm, **kw)
-
     lat: list[float] = []
     lat_lock = threading.Lock()
 
     with MicroBatcher(svc, refer, max_batch=max_batch, flush_ms=flush_ms,
-                      infer_batch=recording_infer_batch,
+                      max_inflight=max_inflight, output=output,
                       sampling_timesteps=steps) as mb:
         t0 = time.perf_counter()
         futs = []
@@ -125,10 +123,12 @@ def run_load(svc, refer, clips, rate: float, duration: float,
         for f in futs:
             f.result(timeout=600)
         wall = time.perf_counter() - t0
+        dispatch_log = list(mb.dispatch_log)
 
     lat_ms = np.sort(np.asarray(lat)) * 1e3
     t_frames = clips[0].shape[0]
     audio_s = n * t_frames * svc.hop_size / svc.target_sample
+    disp_sizes = [d for _, d in dispatch_log]  # padded (device) batch sizes
     return {
         "offered_clips_s": rate,
         "achieved_clips_s": round(n / wall, 1),
@@ -137,8 +137,10 @@ def run_load(svc, refer, clips, rate: float, duration: float,
         "p90_ms": round(float(np.percentile(lat_ms, 90)), 1),
         "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
         "max_ms": round(float(lat_ms[-1]), 1),
-        "mean_batch": round(float(np.mean(dispatch_sizes)), 2),
-        "dispatches": len(dispatch_sizes),
+        "mean_batch": round(float(np.mean(disp_sizes)), 2),
+        "mean_batch_real": round(float(np.mean([r for r, _ in dispatch_log])),
+                                 2),
+        "dispatches": len(disp_sizes),
         "rtf_aggregate": round(audio_s / wall, 1),
     }
 
@@ -156,6 +158,13 @@ def main(argv=None):
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--flush_ms", type=float, default=30.0)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--max_inflight", type=int, default=2,
+                    help="outstanding device batches (1 = the round-4 "
+                         "serialized dispatch/readback behavior)")
+    ap.add_argument("--output", type=str, default="pcm16",
+                    choices=["float32", "pcm16"],
+                    help="waveform wire format; pcm16 quantizes on device "
+                         "and halves D2H readback bytes")
     args = ap.parse_args(argv)
 
     if jax.default_backend() == "cpu" \
@@ -180,18 +189,22 @@ def main(argv=None):
     for b in sizes:
         t0 = time.perf_counter()
         svc.infer_batch([clips[i % len(clips)] for i in range(b)], refer,
-                        sampling_timesteps=args.steps)
+                        sampling_timesteps=args.steps, output=args.output)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         svc.infer_batch([clips[(i + 1) % len(clips)] for i in range(b)],
-                        refer, sampling_timesteps=args.steps)
+                        refer, sampling_timesteps=args.steps,
+                        output=args.output)
         warm_s = time.perf_counter() - t0
         print(f"# warm B={b}: compile+run {compile_s:.1f}s, "
               f"warm run {warm_s * 1e3:.0f} ms", file=sys.stderr, flush=True)
 
     for rate in args.loads:
         row = run_load(svc, refer, clips, rate, args.duration,
-                       args.max_batch, args.flush_ms, args.steps, seed=1)
+                       args.max_batch, args.flush_ms, args.steps, seed=1,
+                       max_inflight=args.max_inflight, output=args.output)
+        row["max_inflight"] = args.max_inflight
+        row["output"] = args.output
         print(json.dumps(row), flush=True)
 
 

@@ -136,6 +136,46 @@ class TestInferBatch:
     def test_empty(self, svc):
         assert svc.infer_batch([], np.zeros((10, 100), np.float32)) == []
 
+    def test_pcm16_output_matches_quantized_float(self, svc):
+        """output='pcm16' quantizes ON DEVICE (halving D2H bytes for the
+        serving pipeline); results must equal round(float*32767) of the
+        float path exactly (same seed => same mel/wav pre-quantization)."""
+        rng = np.random.default_rng(2)
+        clips = [rng.standard_normal((40, 256)).astype(np.float32)]
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        f = svc.infer_batch(clips, refer, sampling_timesteps=4, seed=3)
+        q = svc.infer_batch(clips, refer, sampling_timesteps=4, seed=3,
+                            output="pcm16")
+        assert q[0].dtype == np.int16 and q[0].shape == f[0].shape
+        expect = np.clip(np.round(f[0].astype(np.float64) * 32767.0),
+                         -32768, 32767).astype(np.int16)
+        # quantize-after-readback vs quantize-on-device may differ by one
+        # LSB at exact .5 boundaries; require exactness elsewhere
+        assert np.max(np.abs(q[0].astype(np.int32)
+                             - expect.astype(np.int32))) <= 1
+        assert np.mean(q[0] != expect) < 1e-3
+
+    def test_infer_batch_async_finish(self, svc):
+        """infer_batch_async returns a deferred readback whose result
+        matches the synchronous path bit-for-bit."""
+        rng = np.random.default_rng(3)
+        clips = [rng.standard_normal((t, 256)).astype(np.float32)
+                 for t in (40, 25)]
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        finish = svc.infer_batch_async(clips, refer, sampling_timesteps=4,
+                                       seed=1)
+        sync = svc.infer_batch(clips, refer, sampling_timesteps=4, seed=1)
+        outs = finish()
+        assert len(outs) == 2
+        for a, b in zip(outs, sync):
+            np.testing.assert_array_equal(a, b)
+
+    def test_invalid_output_rejected(self, svc):
+        with pytest.raises(ValueError, match="output"):
+            svc.infer_batch([np.zeros((8, 256), np.float32)],
+                            np.zeros((10, 100), np.float32),
+                            output="pcm24")
+
 
 class TestCLIParser:
     def test_defaults_match_reference_flags(self):
@@ -345,7 +385,7 @@ class TestCompiledInferPath:
         refer = rng.standard_normal((30, 100)).astype(np.float32)
         c = rng.standard_normal((40, 256)).astype(np.float32)
         svc.infer_from_features(c, refer, sampling_timesteps=4)
-        fn = svc._infer_cache[("unipc", 4, 2, False, False, True)]
+        fn = svc._infer_cache[("unipc", 4, 2, False, False, True, "float32")]
         baseline = fn._cache_size()
         for t in (50, 60):  # same 64-frame bucket -> no retrace
             c = rng.standard_normal((t, 256)).astype(np.float32)
@@ -358,7 +398,8 @@ class TestCompiledInferPath:
         refer = rng.standard_normal((30, 100)).astype(np.float32)
         svc.infer_from_features(c, refer, sample_method="ddim",
                                 sampling_timesteps=4)
-        assert ("ddim", 4, 2, False, False, True) in svc._infer_cache
+        assert ("ddim", 4, 2, False, False, True,
+                "float32") in svc._infer_cache
 
 
 class TestCrossfadeRetain:

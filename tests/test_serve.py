@@ -21,23 +21,54 @@ from ns2vc_tpu.infer.serve import MicroBatcher
 
 class FakeSvc:
     """Records every dispatched batch; returns per-clip identifiable
-    waveforms (first content value echoed)."""
+    waveforms (first content value echoed). `entered` is set when a
+    dispatch reaches the backend; an optional `gate` event blocks the
+    dispatch until the test releases it (deterministic overload, no
+    wall-clock sleeps)."""
 
     def __init__(self, delay_s: float = 0.0, fail: bool = False):
         self.calls = []
         self.delay_s = delay_s
         self.fail = fail
         self.lock = threading.Lock()
+        self.entered = threading.Event()
+        self.gate = None
 
     def infer_batch(self, clips, refer_mel, f0s=None, uvs=None, **kw):
         with self.lock:
             self.calls.append({"sizes": [c.shape[0] for c in clips],
                                "f0s": f0s, "kw": kw})
+        self.entered.set()
+        if self.gate is not None:
+            assert self.gate.wait(timeout=10)
         if self.delay_s:
             time.sleep(self.delay_s)
         if self.fail:
             raise RuntimeError("backend exploded")
         return [np.full(c.shape[0] * 4, c[0, 0], np.float32) for c in clips]
+
+
+class FakeAsyncSvc:
+    """Backend exposing the split dispatch/readback API
+    (Svc.infer_batch_async): dispatch returns instantly, the finish
+    closure blocks on `finish_gate` — lets tests observe dispatch N+1
+    happening while readback N is still in flight."""
+
+    def __init__(self):
+        self.dispatched = []
+        self.finish_gate = threading.Event()
+        self.lock = threading.Lock()
+
+    def infer_batch_async(self, clips, refer_mel, f0s=None, uvs=None, **kw):
+        with self.lock:
+            self.dispatched.append([c.shape[0] for c in clips])
+
+        def finish():
+            assert self.finish_gate.wait(timeout=10)
+            return [np.full(c.shape[0] * 4, c[0, 0], np.float32)
+                    for c in clips]
+
+        return finish
 
 
 def make_clip(t, value=1.0):
@@ -87,18 +118,23 @@ class TestMicroBatcher:
         assert [o[0] for o in outs] == list(range(10))
 
     def test_backlog_coalesces_under_overload(self):
-        """Requests that queue up while the worker is blocked inside a
-        dispatch must come out as ONE batch, even though each is already
-        older than flush_ms when the worker next looks. Regression: the
-        worker used to move a single request per loop iteration from the
-        queue to the pending table, so an expired flush deadline always
-        met exactly one pending request — measured mean_batch 1.0 at
-        90 clips/s offered (scripts/bench_serving.py, round 4)."""
-        svc = FakeSvc(delay_s=0.15)
-        with MicroBatcher(svc, REFER, max_batch=16, flush_ms=10) as mb:
-            first = mb.submit(make_clip(100, 99.0))  # occupies the worker
-            time.sleep(0.06)  # worker is now blocked in _dispatch
+        """Requests that queue up while the pipeline is full must come out
+        as ONE batch, even though each is already older than flush_ms when
+        the worker next gets a slot. Regression: the worker used to move a
+        single request per loop iteration from the queue to the pending
+        table, so an expired flush deadline always met exactly one pending
+        request — measured mean_batch 1.0 at 90 clips/s offered
+        (scripts/bench_serving.py, round 4). Deterministic via the
+        backend gate (no wall-clock races): the first dispatch is held
+        inside the backend until all 8 backlog submits are queued."""
+        svc = FakeSvc()
+        svc.gate = threading.Event()
+        with MicroBatcher(svc, REFER, max_batch=16, flush_ms=10,
+                          max_inflight=1) as mb:
+            first = mb.submit(make_clip(100, 99.0))  # fills the pipeline
+            assert svc.entered.wait(timeout=10)
             futs = [mb.submit(make_clip(100, i)) for i in range(8)]
+            svc.gate.set()  # release dispatch 1; backlog coalesces
             assert first.result(timeout=10)[0] == 99.0
             outs = [f.result(timeout=10) for f in futs]
         assert [o[0] for o in outs] == list(range(8))
@@ -173,6 +209,52 @@ class TestMicroBatcher:
     def test_invalid_pad_batch_rejected(self):
         with pytest.raises(ValueError, match="pad_batch"):
             MicroBatcher(FakeSvc(), REFER, pad_batch="pow3")
+
+    def test_pipeline_overlaps_dispatch_and_readback(self):
+        """With max_inflight=2, batch N+1 must DISPATCH while batch N's
+        readback is still blocked — the round-5 serving pipeline (VERDICT
+        r4 weak #2: dispatch and readback used to serialize on one
+        thread, saturating at ~21 clips/s vs ~105 device-possible)."""
+        svc = FakeAsyncSvc()
+        with MicroBatcher(svc, REFER, max_batch=1, flush_ms=5,
+                          pad_batch=None, max_inflight=2) as mb:
+            f1 = mb.submit(make_clip(64, 1.0))
+            f2 = mb.submit(make_clip(64, 2.0))
+            deadline = time.monotonic() + 10
+            while len(svc.dispatched) < 2 and time.monotonic() < deadline:
+                time.sleep(0.005)
+            # both dispatched; neither readback has completed yet
+            assert len(svc.dispatched) == 2
+            assert not f1.done() and not f2.done()
+            svc.finish_gate.set()
+            assert f1.result(timeout=10)[0] == 1.0
+            assert f2.result(timeout=10)[0] == 2.0
+
+    def test_max_inflight_bounds_outstanding_batches(self):
+        """max_inflight=1 must serialize: the second dispatch cannot start
+        until the first readback completes."""
+        svc = FakeAsyncSvc()
+        with MicroBatcher(svc, REFER, max_batch=1, flush_ms=5,
+                          pad_batch=None, max_inflight=1) as mb:
+            f1 = mb.submit(make_clip(64, 1.0))
+            f2 = mb.submit(make_clip(64, 2.0))
+            time.sleep(0.3)  # generous window for a (buggy) 2nd dispatch
+            assert len(svc.dispatched) == 1
+            svc.finish_gate.set()
+            assert f1.result(timeout=10)[0] == 1.0
+            assert f2.result(timeout=10)[0] == 2.0
+        assert len(svc.dispatched) == 2
+
+    def test_dispatch_log_records_real_and_padded(self):
+        svc = FakeSvc(delay_s=0.02)
+        with MicroBatcher(svc, REFER, max_batch=16, flush_ms=30) as mb:
+            futs = [mb.submit(make_clip(100, i)) for i in range(3)]
+            [f.result(timeout=10) for f in futs]
+            assert mb.dispatch_log == [(3, 4)]  # pow2-padded
+
+    def test_invalid_max_inflight_rejected(self):
+        with pytest.raises(ValueError, match="max_inflight"):
+            MicroBatcher(FakeSvc(), REFER, max_inflight=0)
 
     def test_infer_kwargs_forwarded(self):
         svc = FakeSvc()

@@ -116,6 +116,11 @@ def _frame_candidates(frame: np.ndarray, fs: float, floor: float,
             a0, b0, c0 = rx[peaks - 1], rx[peaks], rx[peaks + 1]
             rough = b0 + 0.125 * (a0 - c0) ** 2 / np.maximum(
                 np.abs(b0 * 2 - a0 - c0), 1e-12)
+            # apply the same octave-cost term the final ranking uses so
+            # the pre-cut candidate order matches refining all peaks
+            # (without it, a low-lag peak just past the cut could oust a
+            # high-lag one the final octave-weighted order would keep)
+            rough = rough - OCTAVE_COST * np.log2(floor * peaks / fs)
             peaks = peaks[np.argsort(-rough)[: MAX_CANDIDATES - 1]]
         # sinc-interpolated peak refinement (Praat's improve_maximum with
         # SINC70 + Brent; a plain parabola under-resolves the sharp

@@ -102,6 +102,13 @@ def preprocess_dataset(in_dir: str, cfg: Optional[Config] = None,
         files = (glob.glob(f"{in_dir}/**/*.wav", recursive=True)
                  + glob.glob(f"{in_dir}/**/*.flac", recursive=True))
 
+    if (contentvec is None) != (contentvec_params is None):
+        # fail at the API boundary, not later inside a worker feature pass
+        raise ValueError(
+            "contentvec and contentvec_params must be passed together "
+            f"(got contentvec={'set' if contentvec is not None else None}, "
+            f"contentvec_params="
+            f"{'set' if contentvec_params is not None else None})")
     if contentvec is not None:
         pass
     elif contentvec_ckpt and os.path.exists(contentvec_ckpt):

@@ -207,6 +207,26 @@ def convert_fairseq_hubert(sd, strict: bool = True) -> dict:
     return out
 
 
+def _heads_from_metadata(data) -> int | None:
+    """encoder_attention_heads from a fairseq checkpoint's 'cfg' (dict /
+    OmegaConf, modern) or 'args' (Namespace, legacy), else None."""
+    cfg = data.get("cfg") if hasattr(data, "get") else None
+    if cfg is not None:
+        model_cfg = cfg.get("model") if hasattr(cfg, "get") \
+            else getattr(cfg, "model", None)
+        for source in (model_cfg, cfg):
+            if source is None:
+                continue
+            h = (source.get("encoder_attention_heads")
+                 if hasattr(source, "get")
+                 else getattr(source, "encoder_attention_heads", None))
+            if h is not None:
+                return int(h)
+    args = data.get("args") if hasattr(data, "get") else None
+    h = getattr(args, "encoder_attention_heads", None)
+    return int(h) if h is not None else None
+
+
 def load_contentvec(ckpt_path: str, heads: int | None = None):
     """torch.load a fairseq contentvec checkpoint -> (ContentVec, params).
     Both fairseq and our attention apply the standard 1/sqrt(head_dim)
@@ -214,21 +234,43 @@ def load_contentvec(ckpt_path: str, heads: int | None = None):
 
     Module hyperparameters are inferred from the state dict (dim, ffn_dim,
     num_layers, final_dim) so non-base-sized checkpoints load without
-    manual configuration; the head count is the one thing weights cannot
-    encode — fairseq's convention of 64-wide heads (12 heads at dim 768,
-    the checkpoint_best_legacy_500.pt geometry) is assumed unless `heads`
-    is passed."""
+    manual configuration. The head count is the one thing weights cannot
+    encode (it only changes the softmax grouping, not the tensors), so it
+    is read from the checkpoint's own metadata (fairseq stores
+    encoder_attention_heads under 'cfg'/'args'); when metadata is absent
+    we fall back to fairseq's 64-wide-head convention (12 heads at dim
+    768, the checkpoint_best_legacy_500.pt geometry) with a warning —
+    pass `heads` to silence it."""
     import torch
 
-    data = torch.load(ckpt_path, map_location="cpu")
+    try:
+        data = torch.load(ckpt_path, map_location="cpu")
+    except Exception:
+        # legacy fairseq checkpoints pickle an argparse.Namespace under
+        # 'args', which torch>=2.6's weights_only=True default rejects —
+        # the reference loads them through fairseq's full unpickler
+        data = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     sd = data.get("model", data)
     dim = int(sd["post_extract_proj.weight"].shape[0])
     n_layers = 0
     while f"encoder.layers.{n_layers}.fc1.weight" in sd:
         n_layers += 1
+    if heads is None:
+        heads = _heads_from_metadata(data)
+    if heads is None:
+        heads = max(1, dim // 64)
+        import warnings
+
+        warnings.warn(
+            f"load_contentvec: checkpoint carries no "
+            f"encoder_attention_heads metadata; assuming fairseq's "
+            f"64-wide-head convention ({heads} heads at dim {dim}). A "
+            f"different head count loads without error but changes the "
+            f"attention softmax grouping — pass heads= explicitly if "
+            f"this checkpoint deviates.", stacklevel=2)
     model = ContentVec(
         dim=dim,
-        heads=heads if heads is not None else max(1, dim // 64),
+        heads=heads,
         ffn_dim=int(sd["encoder.layers.0.fc1.weight"].shape[0]),
         num_layers=n_layers,
         output_layer=n_layers,

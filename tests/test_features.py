@@ -206,6 +206,60 @@ class TestFairseqLayoutConverter:
             convert_fairseq_hubert(fs_sd)
 
 
+class TestLoadContentvecHeads:
+    """load_contentvec must take the head count from the checkpoint's own
+    metadata when present (ADVICE r4: a non-64-wide-head checkpoint used
+    to load silently with the wrong softmax grouping), and warn loudly
+    when falling back to the dim//64 convention."""
+
+    def _ckpt(self, tmp_path, extra):
+        dim, heads, ffn, layers = 96, 4, 192, 2
+        torch.manual_seed(4)
+        hf = transformers.HubertModel(_hf_config(dim, heads, ffn, layers))
+        fs_sd = _to_fairseq_layout(hf.state_dict(), layers,
+                                   (torch.randn(64, dim), torch.randn(64)))
+        path = str(tmp_path / "cv.pt")
+        torch.save({"model": fs_sd, **extra}, path)
+        return path
+
+    def test_heads_from_cfg_metadata(self, tmp_path):
+        from ns2vc_tpu.features.contentvec import load_contentvec
+
+        path = self._ckpt(tmp_path, {
+            "cfg": {"model": {"encoder_attention_heads": 6}}})
+        model, _ = load_contentvec(path)
+        assert model.heads == 6
+
+    def test_heads_from_legacy_args(self, tmp_path):
+        import argparse
+
+        from ns2vc_tpu.features.contentvec import load_contentvec
+
+        path = self._ckpt(tmp_path, {
+            "args": argparse.Namespace(encoder_attention_heads=3)})
+        model, _ = load_contentvec(path)
+        assert model.heads == 3
+
+    def test_fallback_warns(self, tmp_path):
+        from ns2vc_tpu.features.contentvec import load_contentvec
+
+        path = self._ckpt(tmp_path, {})
+        with pytest.warns(UserWarning, match="64-wide-head"):
+            model, _ = load_contentvec(path)
+        assert model.heads == 1  # dim 96 // 64
+
+    def test_explicit_heads_wins_silently(self, tmp_path):
+        import warnings
+
+        from ns2vc_tpu.features.contentvec import load_contentvec
+
+        path = self._ckpt(tmp_path, {})
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            model, _ = load_contentvec(path, heads=4)
+        assert model.heads == 4
+
+
 def _flatten(tree, prefix=()):
     if isinstance(tree, dict):
         for k, v in tree.items():

@@ -192,11 +192,28 @@ class TestACRealSpeechBounds:
 
     The 40.7 Hz raw RMSE on wav 1 is NOT jitter: frames 83-96 are a
     voicing-onset tail where AC locks to the 87 Hz subharmonic while
-    pyworld reports 174 Hz (the spectrum shows harmonics of ~170 Hz, but
-    the first frames of the region genuinely favour the half octave —
-    normalized-ac strength 0.79 vs 0.46 — so the Viterbi stays down; an
-    algorithm-family disagreement, not a bug). Octave-folded RMSE
-    (min over {f, 2f, f/2}) bounds the within-octave accuracy at 3 Hz.
+    pyworld reports 174 Hz. ADJUDICATED round 5 with three
+    estimator-independent measures (scripts/adjudicate_pitch_octave.py:
+    odd-harmonic energy ratio, harmonic product spectrum, cepstrum peak,
+    all straight off each frame's spectrum — shared with neither
+    tracker):
+
+    - frames 83-90: GENUINELY AMBIGUOUS. The spectrum carries real
+      energy at the odd multiples of 87 Hz (odd/even ratio 0.4-0.71 —
+      onset period-doubling/creak), and the cepstrum itself picks
+      ~86 Hz; the AC strengths (0.79 low vs 0.46 high) reflect signal
+      content, not a tracker bug.
+    - frames 91-96: the HIGH octave is physically correct (odd/even
+      ratio 0.04-0.11, HPS and cepstrum both ~170-176 Hz, 3/3 votes).
+      Here the Viterbi stays locked low because leaving costs an
+      octave jump right after frames that genuinely favoured 87 Hz —
+      Boersma's own path-finder semantics, which real Praat (same costs)
+      would plausibly reproduce; with Praat uninstallable, the recorded
+      bound stands on the committed analysis instead of a spectrum
+      eyeball (test_octave_tail_adjudication pins the evidence).
+
+    Octave-folded RMSE (min over {f, 2f, f/2}) bounds the within-octave
+    accuracy at 3 Hz.
     """
 
     @pytest.mark.parametrize(
@@ -218,6 +235,39 @@ class TestACRealSpeechBounds:
         fold = np.minimum(err, np.minimum(np.abs(gold[both] - 2 * ac[both]),
                                           np.abs(gold[both] - 0.5 * ac[both])))
         assert np.sqrt(np.mean(fold ** 2)) <= max_fold_rmse
+
+    def test_octave_tail_adjudication(self, reference_dir):
+        """Pins the estimator-independent evidence for the wav1 octave
+        tail (scripts/adjudicate_pitch_octave.py, VERDICT r4 next #4):
+        the late region (frames 91-96) has essentially no energy at the
+        odd multiples of 87 Hz (true pitch 174, the golden is right),
+        while the onset (frames 84-88) carries genuine subharmonic
+        energy (the 87 Hz reading reflects the signal)."""
+        import importlib.util
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "scripts", "adjudicate_pitch_octave.py")
+        spec = importlib.util.spec_from_file_location("adj_mod", path)
+        adj = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(adj)
+
+        wav, sr = read_wav(str(reference_dir / "dataset/1/1.wav"))
+        if wav.ndim > 1:
+            wav = wav.mean(axis=0)
+        w24 = np.asarray(resample(jnp.asarray(wav), sr, 24000))
+        gold = np.load(reference_dir / "dataset/1/1.wav.f0.npy")
+        ac = compute_f0_ac(w24, 24000, hop_length=320, p_len=len(gold))
+
+        def ratio(fr):
+            freqs, mag = adj.spectrum(adj.frame_window(w24, fr, hop=320))
+            return adj.odd_harmonic_ratio(freqs, mag,
+                                          min(ac[fr], gold[fr]))
+
+        late = [ratio(fr) for fr in range(91, 97)]
+        onset = [ratio(fr) for fr in range(84, 89)]
+        assert max(late) < 0.15, late    # no real 87 Hz component: 174 Hz
+        assert min(onset) > 0.3, onset   # genuine onset subharmonic
 
     def test_glottal_pulse_train_exact_contour(self):
         """Speech-like synthetic with EXACT ground truth: an impulse train

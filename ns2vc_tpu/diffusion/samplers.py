@@ -447,7 +447,14 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
             x = x_ - scale * corr
             return (x, m_t, m0, m1), None
 
-        (x, m0, m1, m2), _ = jax.lax.scan(body, (x, m0, m1, m2), consts)
+        # NS2VC_SCAN_UNROLL>1 unrolls the homogeneous body (opt-in, for
+        # the B=1 latency experiment — round-5 measured entry in
+        # CLAUDE.md; default 1 = no change)
+        import os
+
+        unroll = int(os.environ.get("NS2VC_SCAN_UNROLL", "1"))
+        (x, m0, m1, m2), _ = jax.lax.scan(body, (x, m0, m1, m2), consts,
+                                          unroll=max(1, unroll))
         hi = body_end
 
     # tail: orders order-1 .. 1 (with corrector except the very last)

@@ -17,8 +17,11 @@ quality number:
    and Pearson correlation.
 
 Round-1 recorded: mel L1 0.614 (mean-baseline 1.14, corr 0.90). The
-gate is L1 <= 0.614 at the same recipe. Round-5 result: see CLAUDE.md
-"Perf state" / the committed run log in the commit message.
+gate is L1 <= 0.614 at the same recipe, on the raw params (round 1
+predates EMA). Round-5 measured result (v5e, 2026-08-19): raw-params
+mel L1 0.3771 / corr 0.959 — PASS, materially better than round 1;
+EMA-eval L1 0.809 (expected: 47% residual init weight at this horizon);
+run fully deterministic (two runs, identical per-step losses).
 
 Usage: python scripts/overfit_demo.py [--steps 1500] [--out /tmp/overfit]
 """

@@ -310,6 +310,16 @@ def test_integration_real_svc():
     assert out1.shape == (32 * hop,) and out2.shape == (32 * hop,)
     assert np.all(np.isfinite(out1)) and np.all(np.isfinite(out2))
 
+    # the serving wire format: device-quantized int16 PCM through the
+    # same pipelined path, consistent with the float result
+    with MicroBatcher(svc, refer, max_batch=2, flush_ms=5_000,
+                      sampling_timesteps=4, output="pcm16") as mb:
+        q = mb.submit(clip).result(timeout=300)
+    assert q.dtype == np.int16 and q.shape == (32 * hop,)
+    expect = np.clip(np.round(out1.astype(np.float64) * 32767.0),
+                     -32768, 32767).astype(np.int16)
+    assert np.max(np.abs(q.astype(np.int32) - expect.astype(np.int32))) <= 1
+
 
 class TestMicroBatcherRobustness:
     def test_cancelled_future_does_not_poison_batch(self):

@@ -112,6 +112,12 @@ class MicroBatcher:
             self._infer_async = svc.infer_batch_async
         else:
             self._infer_sync = svc.infer_batch
+        # identity token for Svc's device-resident refer cache: the padded
+        # refer uploads once per (batch, length-bucket) geometry instead of
+        # per dispatch (it is step-invariant conditioning; one refer per
+        # MicroBatcher). The dict holds the token itself, so it can never
+        # collide with another instance's key.
+        self._refer_token = object()
         self._q: queue.Queue = queue.Queue()
         self._done_q: queue.Queue = queue.Queue()
         self._inflight = threading.Semaphore(max_inflight)
@@ -284,6 +290,7 @@ class MicroBatcher:
                 # (async dispatch); finish() is the blocking readback
                 finish = self._infer_async(
                     clips, self.refer_mel, f0s=f0s, uvs=uvs,
+                    refer_cache_key=self._refer_token,
                     **self.infer_kwargs)
             else:
                 # opaque sync callable: defer the whole call to the

@@ -89,6 +89,7 @@ class Svc:
         self.params = params if params is not None \
             else self._load_model(net_g_path)
         self._infer_cache: dict = {}
+        self._refer_cache: dict = {}  # (key, n, tp_pad, dtype) -> device arr
 
         self.contentvec = self.contentvec_params = None
         if contentvec_params is not None:
@@ -228,6 +229,43 @@ class Svc:
             self.hop_size, self.cfg.data.n_mels))
         return mel.T  # (Tp, 100)
 
+    # -- serving-path transfer helpers --------------------------------------
+
+    def _wire_dtype(self):
+        """Host->device dtype for the content/refer conditioning. Under
+        bf16 compute the jitted program casts them to bf16 at its first
+        use (models/diffusion.py::generate_mel), so uploading bf16
+        directly is bit-identical and HALVES the H2D bytes — on
+        transfer-bound hosts the dominant per-dispatch cost after the
+        waveform readback. f0/uv stay f32 (bf16's ~3 significant digits
+        would perturb the 256-bin coarse quantization)."""
+        if self.compute_dtype is None:
+            return np.float32
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+
+    def _device_refer(self, refer_mel: np.ndarray, n: int, tp_pad: int,
+                      wire, cache_key=None):
+        """Padded, batched, device-resident refer mel. With `cache_key`
+        (serving: one refer per MicroBatcher) the upload happens once per
+        (key, batch, length-bucket) geometry instead of per dispatch —
+        the refer is step-invariant conditioning, re-sending ~2 MB per
+        batch bought nothing. The caller must not mutate refer_mel after
+        passing a cache_key."""
+        key = None
+        if cache_key is not None:
+            key = (cache_key, n, tp_pad, np.dtype(wire).str)
+            hit = self._refer_cache.get(key)
+            if hit is not None:
+                return hit
+        r_in = np.zeros((n, tp_pad, refer_mel.shape[1]), wire)
+        r_in[:, : refer_mel.shape[0]] = refer_mel[None]
+        dev = jnp.asarray(r_in)
+        if key is not None:
+            self._refer_cache[key] = dev
+        return dev
+
     # -- the compiled program ---------------------------------------------
 
     def _get_infer_fn(self, method: str, steps: int, order: int,
@@ -303,9 +341,10 @@ class Svc:
         (reference model.py:605-608)."""
         t_len, tp_len = c.shape[0], refer_mel.shape[0]
         t_pad, tp_pad = _bucket(t_len, 64), _bucket(tp_len, 64)
-        c_in = np.zeros((1, t_pad, c.shape[1]), np.float32)
+        wire = self._wire_dtype()
+        c_in = np.zeros((1, t_pad, c.shape[1]), wire)
         c_in[0, :t_len] = c
-        r_in = np.zeros((1, tp_pad, refer_mel.shape[1]), np.float32)
+        r_in = np.zeros((1, tp_pad, refer_mel.shape[1]), wire)
         r_in[0, :tp_len] = refer_mel
 
         use_f0 = f0 is not None and self.cfg.f0_predictor.enabled
@@ -370,29 +409,37 @@ class Svc:
                           f0s: Optional[list] = None,
                           uvs: Optional[list] = None,
                           auto_predict_f0: bool = False,
-                          output: str = "float32"):
+                          output: str = "float32",
+                          refer_cache_key=None):
         """infer_batch, split at the device/host boundary: enqueues the
         whole compiled program (JAX dispatch is asynchronous) and returns
         a zero-arg `finish() -> list[np.ndarray]` that blocks on the
         host readback. A serving loop can dispatch batch N+1 while batch
         N's waveforms are still transferring (infer/serve.py pipelines
         exactly this; the reference's Svc.infer is fully serial,
-        reference inference/infer_tool.py:189-206)."""
+        reference inference/infer_tool.py:189-206).
+
+        Under bf16 compute the conditioning uploads in bf16 (see
+        _wire_dtype — bit-identical, half the H2D bytes); a
+        `refer_cache_key` additionally keeps the padded refer resident
+        on device across dispatches (the caller must not mutate
+        refer_mel while reusing a key)."""
         if not clips:
             return lambda: []
         if output not in ("float32", "pcm16"):
             raise ValueError(f"output must be 'float32'|'pcm16', "
                              f"got {output!r}")
+        wire = self._wire_dtype()
         t_lens = [c.shape[0] for c in clips]
         t_pad = _bucket(max(t_lens), 64)
         tp_len = refer_mel.shape[0]
         tp_pad = _bucket(tp_len, 64)
         n = len(clips)
-        c_in = np.zeros((n, t_pad, clips[0].shape[1]), np.float32)
+        c_in = np.zeros((n, t_pad, clips[0].shape[1]), wire)
         for i, c in enumerate(clips):
             c_in[i, : t_lens[i]] = c
-        r_in = np.zeros((n, tp_pad, refer_mel.shape[1]), np.float32)
-        r_in[:, :tp_len] = refer_mel[None]
+        r_dev = self._device_refer(refer_mel, n, tp_pad, wire,
+                                   cache_key=refer_cache_key)
 
         use_f0 = f0s is not None and self.cfg.f0_predictor.enabled
         if self.cfg.f0_predictor.enabled and f0s is None:
@@ -422,7 +469,7 @@ class Svc:
                                 auto_predict_f0=auto_predict_f0,
                                 vocode=True, output=output)
         _, wav = fn(self.params, self.vocos_params, jnp.asarray(c_in),
-                    jnp.asarray(r_in), jnp.asarray(t_lens),
+                    r_dev, jnp.asarray(t_lens),
                     jnp.full((n,), tp_len), f0_in, uv_in,
                     jax.random.PRNGKey(seed))
         hop = self.hop_size
@@ -505,6 +552,7 @@ class Svc:
     def unload_model(self):
         self.params = None
         self._infer_cache.clear()
+        self._refer_cache.clear()
 
 
 class RealTimeVC:

@@ -170,6 +170,60 @@ class TestInferBatch:
         for a, b in zip(outs, sync):
             np.testing.assert_array_equal(a, b)
 
+    def test_bf16_wire_upload_is_bit_identical(self):
+        """Under bf16 compute, Svc uploads the conditioning pre-cast to
+        bf16 (half the H2D bytes). generate_mel casts f32 inputs to the
+        compute dtype at first use, so pre-cast-on-host must produce the
+        SAME mel bit-for-bit."""
+        import ml_dtypes
+
+        from ns2vc_tpu.models.diffusion import generate_mel
+
+        cfg = tiny_cfg()
+        rng = jax.random.PRNGKey(0)
+        model = NaturalSpeech2(cfg)
+        batch = {
+            "c": jnp.zeros((1, 16, 256)), "refer": jnp.zeros((1, 16, 100)),
+            "spec": jnp.zeros((1, 16, 100)), "lengths": jnp.array([16]),
+            "refer_lengths": jnp.array([16]),
+        }
+        params = model.init(rng, batch, rng)
+        r = np.random.default_rng(7)
+        c = r.standard_normal((1, 32, 256)).astype(np.float32)
+        refer = r.standard_normal((1, 24, 100)).astype(np.float32)
+        args = (jnp.asarray([32]), jnp.asarray([24]), jax.random.PRNGKey(3))
+
+        def run(c_in, r_in):
+            return np.asarray(generate_mel(
+                model, params, jnp.asarray(c_in), jnp.asarray(r_in), *args,
+                method="ddim", steps=3, compute_dtype=jnp.bfloat16))
+
+        a = run(c, refer)
+        b = run(c.astype(ml_dtypes.bfloat16), refer.astype(ml_dtypes.bfloat16))
+        np.testing.assert_array_equal(a, b)
+
+    def test_refer_cache_reuses_device_upload(self, svc):
+        """refer_cache_key keeps the padded refer device-resident across
+        dispatches of the same geometry (and distinct keys/geometries get
+        distinct entries); results are unchanged."""
+        rng = np.random.default_rng(4)
+        clips = [rng.standard_normal((40, 256)).astype(np.float32)]
+        refer = rng.standard_normal((30, 100)).astype(np.float32)
+        key = object()
+        base = svc.infer_batch(clips, refer, sampling_timesteps=4, seed=5)
+        svc._refer_cache.clear()
+        f1 = svc.infer_batch_async(clips, refer, sampling_timesteps=4,
+                                   seed=5, refer_cache_key=key)
+        assert len(svc._refer_cache) == 1
+        (entry1,) = svc._refer_cache.values()
+        f2 = svc.infer_batch_async(clips, refer, sampling_timesteps=4,
+                                   seed=5, refer_cache_key=key)
+        assert len(svc._refer_cache) == 1
+        (entry2,) = svc._refer_cache.values()
+        assert entry1 is entry2  # same device buffer, no re-upload
+        np.testing.assert_array_equal(f1()[0], base[0])
+        np.testing.assert_array_equal(f2()[0], base[0])
+
     def test_invalid_output_rejected(self, svc):
         with pytest.raises(ValueError, match="output"):
             svc.infer_batch([np.zeros((8, 256), np.float32)],

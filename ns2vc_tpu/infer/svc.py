@@ -239,8 +239,9 @@ class Svc:
         transfer-bound hosts the dominant per-dispatch cost after the
         waveform readback. f0/uv stay f32 (bf16's ~3 significant digits
         would perturb the 256-bin coarse quantization)."""
-        if self.compute_dtype is None:
-            return np.float32
+        if self.compute_dtype is None \
+                or os.environ.get("NS2VC_WIRE_DTYPE") == "float32":
+            return np.float32  # env knob: A/B the transfer format
         import ml_dtypes
 
         return ml_dtypes.bfloat16

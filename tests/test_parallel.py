@@ -443,3 +443,63 @@ class TestShardedInference:
                        for s in got_dev.addressable_shards)
         np.testing.assert_allclose(np.asarray(got_dev), want,
                                    atol=2e-5, rtol=1e-5)
+
+    @pytest.mark.slow
+    def test_generate_mel_tensor_parallel_matches_replicated(self):
+        """Tensor-parallel INFERENCE equivalence: the full sampling path
+        with wide kernels sharded over the 'model' axis (4x2 mesh) must
+        match the replicated (8x1) program. Training mp2==mp1 is covered
+        above; this pins the serving-side collectives too (round-5: the
+        multichip gate also samples — __graft_entry__.dryrun_multichip)."""
+        from ns2vc_tpu.config import EncoderConfig
+        from ns2vc_tpu.models.diffusion import generate_mel
+
+        assert len(jax.devices()) == 8
+        # 1-layer encoders + the full-width UNet: (128,256,384,512)
+        # channels give genuinely sharded wide kernels
+        cfg = Config(
+            train=TrainConfig(compute_dtype="float32", remat=False),
+            phoneme_encoder=EncoderConfig(n_layers=1),
+            prompt_encoder=EncoderConfig(in_channels=100, n_layers=1),
+        )
+        model = NaturalSpeech2(cfg)
+        rng = jax.random.PRNGKey(0)
+        b, t, tp = 8, 16, 16
+        batch = {
+            "c": jax.random.normal(rng, (b, t, 256)) * 0.1,
+            "refer": jax.random.normal(jax.random.fold_in(rng, 1),
+                                       (b, tp, 100)),
+            "spec": jnp.zeros((b, t, 100)),
+            "lengths": jnp.full((b,), t, jnp.int32),
+            "refer_lengths": jnp.full((b,), tp, jnp.int32),
+        }
+
+        def init_fn(r):
+            return model.init(r, batch, r)
+
+        def synth(params, c, refer, lengths, refer_lengths, r):
+            return generate_mel(model, params, c, refer, lengths,
+                                refer_lengths, r, method="ddim", steps=3)
+
+        results = {}
+        for mp in (1, 2):
+            mesh = make_mesh(mp)
+            repl = jax.sharding.NamedSharding(mesh,
+                                              jax.sharding.PartitionSpec())
+            with mesh:
+                abstract = jax.eval_shape(init_fn, rng)
+                shardings = param_shardings(abstract, mesh)
+                if mp == 2:  # the point of the test: something IS sharded
+                    assert any(
+                        s.spec != jax.sharding.PartitionSpec()
+                        for s in jax.tree.leaves(shardings))
+                params = jax.jit(init_fn, out_shardings=shardings)(rng)
+                data = batch_sharding(mesh)
+                args = [jax.device_put(batch[k], data)
+                        for k in ("c", "refer", "lengths", "refer_lengths")]
+                mel = jax.jit(synth)(params, *args,
+                                     jax.device_put(jax.random.PRNGKey(7),
+                                                    repl))
+                results[mp] = np.asarray(mel)
+        np.testing.assert_allclose(results[2], results[1],
+                                   atol=2e-5, rtol=1e-5)

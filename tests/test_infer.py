@@ -252,6 +252,10 @@ class TestCLIParser:
         assert args.f0_mean_pooling is False
         assert args.f0_filter_threshold == 0.05
         assert args.linear_gradient_retain == 0.75
+        # EMA deployment default: on, with the --no_ema escape hatch
+        assert args.no_ema is False
+        assert build_parser().parse_args(
+            ["-m", "ckpt", "-n", "a", "-r", "b", "--no_ema"]).no_ema is True
 
     def test_short_flags(self):
         from ns2vc_tpu.infer.cli import build_parser

@@ -203,15 +203,18 @@ class MicroBatcher:
         self._absorb(items)
 
     def _pick_bucket(self) -> Optional[int]:
-        """Smallest bucket with a dispatchable batch (full, aged out, or
-        flushing for close), else None."""
+        """Dispatchable bucket (full, aged out, or flushing for close)
+        whose HEAD request has waited longest — oldest-first keeps a hot
+        small-clip bucket from starving a trickle of long clips when the
+        in-flight slots are the bottleneck. None when nothing is ready."""
         now = time.monotonic()
-        for b in sorted(self._pending):
-            reqs = self._pending[b]
+        best, best_t = None, None
+        for b, reqs in self._pending.items():
             if reqs and (len(reqs) >= self.max_batch or self._stopping
                          or reqs[0].t_submit + self.flush_s <= now):
-                return b
-        return None
+                if best_t is None or reqs[0].t_submit < best_t:
+                    best, best_t = b, reqs[0].t_submit
+        return best
 
     def _run(self):
         while True:

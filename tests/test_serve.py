@@ -210,6 +210,29 @@ class TestMicroBatcher:
         with pytest.raises(ValueError, match="pad_batch"):
             MicroBatcher(FakeSvc(), REFER, pad_batch="pow3")
 
+    def test_oldest_bucket_dispatches_first(self):
+        """When several buckets are dispatchable, the one whose head
+        request has waited longest goes first — a hot small-clip bucket
+        must not starve long clips while the pipeline is the
+        bottleneck."""
+        svc = FakeSvc()
+        svc.gate = threading.Event()
+        with MicroBatcher(svc, REFER, max_batch=16, flush_ms=10,
+                          max_inflight=1, pad_batch=None) as mb:
+            hold = mb.submit(make_clip(100, 0.0))  # fills the pipeline
+            assert svc.entered.wait(timeout=10)
+            f_long = mb.submit(make_clip(500, 1.0))   # older, big bucket
+            time.sleep(0.05)
+            f_short = mb.submit(make_clip(40, 2.0))   # newer, small bucket
+            time.sleep(0.05)  # both now older than flush_ms
+            svc.gate.set()
+            assert hold.result(timeout=10)[0] == 0.0
+            assert f_long.result(timeout=10)[0] == 1.0
+            assert f_short.result(timeout=10)[0] == 2.0
+        sizes = [c["sizes"][0] for c in svc.calls]
+        # the 500-frame head waited longer than the 40-frame one
+        assert sizes == [100, 500, 40]
+
     def test_pipeline_overlaps_dispatch_and_readback(self):
         """With max_inflight=2, batch N+1 must DISPATCH while batch N's
         readback is still blocked — the round-5 serving pipeline (VERDICT

@@ -24,6 +24,7 @@ Math re-derived from:
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -450,8 +451,6 @@ def unipc_sample(x0_fn: DenoiseFn, x_T: jnp.ndarray, schedule: NoiseSchedule,
         # NS2VC_SCAN_UNROLL>1 unrolls the homogeneous body (opt-in, for
         # the B=1 latency experiment — round-5 measured entry in
         # CLAUDE.md; default 1 = no change)
-        import os
-
         unroll = int(os.environ.get("NS2VC_SCAN_UNROLL", "1"))
         (x, m0, m1, m2), _ = jax.lax.scan(body, (x, m0, m1, m2), consts,
                                           unroll=max(1, unroll))

@@ -165,6 +165,13 @@ def main(argv=None):
                     choices=["float32", "pcm16"],
                     help="waveform wire format; pcm16 quantizes on device "
                          "and halves D2H readback bytes")
+    ap.add_argument("--wire_ab", type=int, default=0, metavar="N",
+                    help="interleaved conditioning-wire A/B: N alternating "
+                         "(bf16, f32) pairs of load points at the FIRST "
+                         "--loads rate, all in one process so both arms "
+                         "share one tunnel window (this backend's transfer "
+                         "rate swings 2-4x between sessions; sequential "
+                         "invocations are not comparable)")
     args = ap.parse_args(argv)
 
     if jax.default_backend() == "cpu" \
@@ -198,6 +205,35 @@ def main(argv=None):
         warm_s = time.perf_counter() - t0
         print(f"# warm B={b}: compile+run {compile_s:.1f}s, "
               f"warm run {warm_s * 1e3:.0f} ms", file=sys.stderr, flush=True)
+
+    if args.wire_ab:
+        # warm the other wire format's programs too (Svc._wire_dtype reads
+        # NS2VC_WIRE_DTYPE per call, so one process serves both arms)
+        os.environ["NS2VC_WIRE_DTYPE"] = "float32"
+        for b in sizes:  # every pow2 geometry the batcher can dispatch
+            svc.infer_batch([clips[i % len(clips)] for i in range(b)],
+                            refer, sampling_timesteps=args.steps,
+                            output=args.output)
+            svc.infer_batch([clips[(i + 1) % len(clips)] for i in range(b)],
+                            refer, sampling_timesteps=args.steps,
+                            output=args.output)
+        print("# f32-wire warmed", file=sys.stderr, flush=True)
+        rate = args.loads[0]
+        for pair in range(args.wire_ab):
+            for wire in ("bf16", "float32"):
+                if wire == "float32":
+                    os.environ["NS2VC_WIRE_DTYPE"] = "float32"
+                else:
+                    os.environ.pop("NS2VC_WIRE_DTYPE", None)
+                row = run_load(svc, refer, clips, rate, args.duration,
+                               args.max_batch, args.flush_ms, args.steps,
+                               seed=1 + pair,
+                               max_inflight=args.max_inflight,
+                               output=args.output)
+                row["wire"] = wire
+                row["pair"] = pair
+                print(json.dumps(row), flush=True)
+        return
 
     for rate in args.loads:
         row = run_load(svc, refer, clips, rate, args.duration,

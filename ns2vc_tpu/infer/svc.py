@@ -495,7 +495,15 @@ class Svc:
                         order: int = 2,
                         auto_predict_f0: bool = False,
                         f0_mean_pooling: bool = False,
-                        cr_threshold: float = 0.05) -> np.ndarray:
+                        cr_threshold: float = 0.05,
+                        max_batch: int = 16) -> np.ndarray:
+        """Long-form conversion in three passes: host feature extraction
+        per chunk, then ONE batched device dispatch per (length bucket,
+        <=max_batch) group via infer_batch — the sampler scan is
+        batch-parallel, so a 10-chunk file costs ~1-2 clips of device
+        latency instead of 10 (the reference converts chunks strictly
+        serially, infer.py:99-140) — then silence/crossfade assembly.
+        max_batch=16 is the measured per-chip operating point."""
         from ns2vc_tpu.audio.slicer import Slicer
 
         wav, sr = read_wav(raw_audio_path)
@@ -504,8 +512,12 @@ class Svc:
         chunks = Slicer(sr=sr, threshold=slice_db).slice(wav)
         refer_wav, refer_sr = read_wav(refer_path)
         refer_mel = self.compute_refer_mel(refer_wav, refer_sr)
+        pad_frames = int(pad_seconds * self.target_sample)
 
-        def convert_clip(data: np.ndarray) -> np.ndarray:
+        # -- pass 1 (host): features per convertible clip + assembly plan
+        jobs: list[dict] = []
+
+        def stage_clip(data: np.ndarray) -> int:
             length = int(np.ceil(len(data) / sr * self.target_sample))
             pad = int(pad_seconds * sr)
             padded = np.concatenate([np.zeros(pad, np.float32), data,
@@ -513,15 +525,10 @@ class Svc:
             c, f0, uv, _ = self.compute_features(
                 padded, sr, tran, f0_mean_pooling=f0_mean_pooling,
                 cr_threshold=cr_threshold)
-            out = self.infer_from_features(
-                c, refer_mel, sample_method, sampling_timesteps,
-                order=order, f0=f0, uv=uv, auto_predict_f0=auto_predict_f0)
-            pad_frames = int(pad_seconds * self.target_sample)
-            return out[pad_frames : pad_frames + length].astype(np.float32)
+            jobs.append({"c": c, "f0": f0, "uv": uv, "length": length})
+            return len(jobs) - 1
 
-        from ns2vc_tpu.infer.cli import crossfade_concat
-
-        pieces = []
+        plan: list[tuple] = []
         for v in dict(chunks).values():
             start, end = (int(x) for x in v["split_time"].split(","))
             if start == end:
@@ -529,22 +536,55 @@ class Svc:
             data = wav[start:end]
             length = int(np.ceil(len(data) / sr * self.target_sample))
             if v["slice"]:  # silence: passthrough zeros
-                pieces.append(np.zeros(length, np.float32))
-                continue
-            if clip_seconds > 0 and len(data) > clip_seconds * sr:
+                plan.append(("silence", length))
+            elif clip_seconds > 0 and len(data) > clip_seconds * sr:
                 # forced clipping: overlap consecutive clips by lg and
                 # crossfade with lgr retention (reference infer.py:85-90,
                 # 108-139 and split_list_by_n, infer_tool.py:111-113)
                 n = int(clip_seconds * sr)
                 lg_src = int(lg_seconds * sr)
                 lg = int(lg_seconds * self.target_sample)
-                subs = [convert_clip(
+                idxs = [stage_clip(
                             data[(i - lg_src if i - lg_src >= 0 else i)
                                  : i + n])
                         for i in range(0, len(data), n)]
-                pieces.append(crossfade_concat(subs, lg, retain=lgr)[:length])
+                plan.append(("crossfade", idxs, lg, length))
             else:
-                pieces.append(convert_clip(data))
+                plan.append(("clip", stage_clip(data)))
+
+        # -- pass 2 (device): batch by content-length bucket
+        outs: list = [None] * len(jobs)
+        by_bucket: dict[int, list[int]] = {}
+        for i, j in enumerate(jobs):
+            by_bucket.setdefault(_bucket(j["c"].shape[0], 64), []).append(i)
+        for b in sorted(by_bucket):
+            idxs = by_bucket[b]
+            for k in range(0, len(idxs), max_batch):
+                grp = idxs[k : k + max_batch]
+                res = self.infer_batch(
+                    [jobs[i]["c"] for i in grp], refer_mel,
+                    sample_method=sample_method,
+                    sampling_timesteps=sampling_timesteps, order=order,
+                    f0s=[jobs[i]["f0"] for i in grp],
+                    uvs=[jobs[i]["uv"] for i in grp],
+                    auto_predict_f0=auto_predict_f0)
+                for i, out in zip(grp, res):
+                    outs[i] = out[pad_frames : pad_frames
+                                  + jobs[i]["length"]].astype(np.float32)
+
+        # -- pass 3 (host): reassemble silence / clips / crossfades in order
+        from ns2vc_tpu.infer.cli import crossfade_concat
+
+        pieces = []
+        for item in plan:
+            if item[0] == "silence":
+                pieces.append(np.zeros(item[1], np.float32))
+            elif item[0] == "clip":
+                pieces.append(outs[item[1]])
+            else:
+                _, idxs, lg, length = item
+                pieces.append(crossfade_concat([outs[i] for i in idxs], lg,
+                                               retain=lgr)[:length])
         return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
 
     def clear_empty(self):  # API parity (infer_tool.py:246-249); no-op on XLA

@@ -93,6 +93,22 @@ class TestSvc:
         assert out.ndim == 1 and len(out) > 0
         assert np.isfinite(out).all()
 
+    def test_slice_inference_forced_clip_batched(self, svc, reference_dir):
+        """clip_seconds forces sub-clip splitting; the round-5 batched
+        pass must stage the sub-clips, convert them through grouped
+        infer_batch dispatches, and crossfade-reassemble to ~the
+        resampled input length."""
+        from ns2vc_tpu.utils.wavio import read_wav
+
+        path = str(reference_dir / "dataset/1/1.wav")
+        wav, sr = read_wav(path)
+        out = svc.slice_inference(
+            path, str(reference_dir / "dataset/2/2.wav"),
+            sampling_timesteps=4, clip_seconds=0.4, lg_seconds=0.05)
+        assert out.ndim == 1 and np.isfinite(out).all()
+        expected = int(np.ceil(len(wav) / sr * svc.target_sample))
+        assert abs(len(out) - expected) <= 0.02 * expected
+
     def test_realtime_vc_crossfades(self, svc, reference_dir):
         from ns2vc_tpu.utils.wavio import read_wav
 

@@ -63,6 +63,7 @@ class MicroBatcher:
                  infer_batch: Optional[Callable] = None,
                  pad_batch: Optional[str] = "pow2",
                  max_inflight: int = 2,
+                 readback_threads: int = 1,
                  **infer_kwargs):
         """`svc` is an ns2vc_tpu.infer.svc.Svc (or anything exposing
         `infer_batch(clips, refer_mel, f0s=..., uvs=..., **kw) -> list`;
@@ -88,12 +89,26 @@ class MicroBatcher:
         `max_inflight` bounds concurrently outstanding device batches:
         1 serializes dispatch and readback (the round-4 behavior), 2
         (default) overlaps batch N+1's device compute with batch N's host
-        readback."""
+        readback.
+
+        `readback_threads` sizes the completion pool: with 1 (default)
+        host readbacks are serial FIFO — the measured round-5 serializer
+        once dispatch is pipelined — while >1 lets several batches'
+        D2H transfers/`np.asarray` block concurrently (useful when the
+        host↔device link itself pipelines; pair with
+        max_inflight >= readback_threads + 1 so dispatch still overlaps).
+        Batches resolve their own futures, so completion order across
+        batches does not matter. With a sync `infer_batch` override the
+        whole call runs on a completion thread, so >1 also implies
+        concurrent calls into that override."""
         if pad_batch not in (None, "pow2", "max"):
             raise ValueError(f"pad_batch must be None|'pow2'|'max', "
                              f"got {pad_batch!r}")
         if max_inflight < 1:
             raise ValueError(f"max_inflight must be >= 1, got {max_inflight}")
+        if readback_threads < 1:
+            raise ValueError(
+                f"readback_threads must be >= 1, got {readback_threads}")
         self.svc = svc
         self.refer_mel = refer_mel
         self.max_batch = max_batch
@@ -128,10 +143,12 @@ class MicroBatcher:
         # submit that passed the closed-check is guaranteed to enqueue
         # BEFORE the None sentinel, so the worker always drains it
         self._submit_lock = threading.Lock()
-        self._completer = threading.Thread(target=self._complete_loop,
-                                           daemon=True,
-                                           name="ns2vc-mb-readback")
-        self._completer.start()
+        self._completers = [
+            threading.Thread(target=self._complete_loop, daemon=True,
+                             name=f"ns2vc-mb-readback-{i}")
+            for i in range(readback_threads)]
+        for t in self._completers:
+            t.start()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="ns2vc-microbatcher")
         self._worker.start()
@@ -166,7 +183,8 @@ class MicroBatcher:
             self._closed = True
             self._q.put(None)  # wake the worker
         self._worker.join(timeout)
-        self._completer.join(timeout)
+        for t in self._completers:
+            t.join(timeout)
 
     def __enter__(self):
         return self
@@ -251,7 +269,10 @@ class MicroBatcher:
             self._pending = {b: r for b, r in self._pending.items() if r}
 
             if self._stopping and not self._pending and self._q.empty():
-                self._done_q.put(None)  # completer drains FIFO, then exits
+                # sentinels go in AFTER every batch: each completer drains
+                # remaining work first, takes one sentinel, and exits
+                for _ in self._completers:
+                    self._done_q.put(None)
                 return
 
     def _padded_size(self, n: int) -> int:

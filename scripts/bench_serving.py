@@ -85,7 +85,8 @@ def build_svc(steps: int):
 
 def run_load(svc, refer, clips, rate: float, duration: float,
              max_batch: int, flush_ms: float, steps: int, seed: int,
-             max_inflight: int = 2, output: str = "pcm16"):
+             max_inflight: int = 2, output: str = "pcm16",
+             readback_threads: int = 1):
     """One offered-load point. Returns the result row.
 
     Batch-mix stats come from MicroBatcher.dispatch_log (appended at
@@ -103,6 +104,7 @@ def run_load(svc, refer, clips, rate: float, duration: float,
 
     with MicroBatcher(svc, refer, max_batch=max_batch, flush_ms=flush_ms,
                       max_inflight=max_inflight, output=output,
+                      readback_threads=readback_threads,
                       sampling_timesteps=steps) as mb:
         t0 = time.perf_counter()
         futs = []
@@ -161,6 +163,9 @@ def main(argv=None):
     ap.add_argument("--max_inflight", type=int, default=2,
                     help="outstanding device batches (1 = the round-4 "
                          "serialized dispatch/readback behavior)")
+    ap.add_argument("--readback_threads", type=int, default=1,
+                    help="completion-pool size (1 = serial FIFO "
+                         "readbacks; >1 overlaps D2H transfers)")
     ap.add_argument("--output", type=str, default="pcm16",
                     choices=["float32", "pcm16"],
                     help="waveform wire format; pcm16 quantizes on device "
@@ -229,7 +234,8 @@ def main(argv=None):
                                args.max_batch, args.flush_ms, args.steps,
                                seed=1 + pair,
                                max_inflight=args.max_inflight,
-                               output=args.output)
+                               output=args.output,
+                               readback_threads=args.readback_threads)
                 row["wire"] = wire
                 row["pair"] = pair
                 print(json.dumps(row), flush=True)
@@ -238,8 +244,10 @@ def main(argv=None):
     for rate in args.loads:
         row = run_load(svc, refer, clips, rate, args.duration,
                        args.max_batch, args.flush_ms, args.steps, seed=1,
-                       max_inflight=args.max_inflight, output=args.output)
+                       max_inflight=args.max_inflight, output=args.output,
+                       readback_threads=args.readback_threads)
         row["max_inflight"] = args.max_inflight
+        row["readback_threads"] = args.readback_threads
         row["output"] = args.output
         print(json.dumps(row), flush=True)
 

@@ -57,6 +57,9 @@ class FakeAsyncSvc:
     def __init__(self):
         self.dispatched = []
         self.finish_gate = threading.Event()
+        # released once per finish() ENTRY (before blocking on the gate):
+        # lets tests count how many readbacks are concurrently in flight
+        self.finish_entered = threading.Semaphore(0)
         self.lock = threading.Lock()
 
     def infer_batch_async(self, clips, refer_mel, f0s=None, uvs=None, **kw):
@@ -64,6 +67,7 @@ class FakeAsyncSvc:
             self.dispatched.append([c.shape[0] for c in clips])
 
         def finish():
+            self.finish_entered.release()
             assert self.finish_gate.wait(timeout=10)
             return [np.full(c.shape[0] * 4, c[0, 0], np.float32)
                     for c in clips]
@@ -278,6 +282,56 @@ class TestMicroBatcher:
     def test_invalid_max_inflight_rejected(self):
         with pytest.raises(ValueError, match="max_inflight"):
             MicroBatcher(FakeSvc(), REFER, max_inflight=0)
+
+    def test_invalid_readback_threads_rejected(self):
+        with pytest.raises(ValueError, match="readback_threads"):
+            MicroBatcher(FakeSvc(), REFER, readback_threads=0)
+
+    def test_readback_pool_overlaps_readbacks(self):
+        """readback_threads=2 must let TWO batches' readbacks block
+        concurrently (each on its own completer thread) — the lever past
+        the single-completer serializer (with readback_threads=1, batch
+        N+1's finish() is not entered until batch N's returns)."""
+        svc = FakeAsyncSvc()
+        with MicroBatcher(svc, REFER, max_batch=1, flush_ms=5,
+                          pad_batch=None, max_inflight=2,
+                          readback_threads=2) as mb:
+            f1 = mb.submit(make_clip(64, 1.0))
+            f2 = mb.submit(make_clip(64, 2.0))
+            # both readbacks entered while both still block on the gate
+            assert svc.finish_entered.acquire(timeout=10)
+            assert svc.finish_entered.acquire(timeout=10)
+            assert not f1.done() and not f2.done()
+            svc.finish_gate.set()
+            assert f1.result(timeout=10)[0] == 1.0
+            assert f2.result(timeout=10)[0] == 2.0
+
+    def test_single_readback_thread_serializes_readbacks(self):
+        """Control for the pool test: with the default single completer,
+        the second batch DISPATCHES (max_inflight=2) but its readback is
+        not entered while the first one blocks."""
+        svc = FakeAsyncSvc()
+        with MicroBatcher(svc, REFER, max_batch=1, flush_ms=5,
+                          pad_batch=None, max_inflight=2,
+                          readback_threads=1) as mb:
+            f1 = mb.submit(make_clip(64, 1.0))
+            f2 = mb.submit(make_clip(64, 2.0))
+            assert svc.finish_entered.acquire(timeout=10)
+            assert not svc.finish_entered.acquire(timeout=0.2)
+            svc.finish_gate.set()
+            assert f1.result(timeout=10)[0] == 1.0
+            assert f2.result(timeout=10)[0] == 2.0
+
+    def test_readback_pool_close_drains(self):
+        """close() must flush pending work through every completer and
+        join the whole pool (one sentinel per thread)."""
+        svc = FakeSvc()
+        mb = MicroBatcher(svc, REFER, max_batch=16, flush_ms=10_000,
+                          readback_threads=3)
+        futs = [mb.submit(make_clip(100, i)) for i in range(3)]
+        mb.close(timeout=10)
+        assert [f.result(timeout=0)[0] for f in futs] == [0, 1, 2]
+        assert all(not t.is_alive() for t in mb._completers)
 
     def test_infer_kwargs_forwarded(self):
         svc = FakeSvc()
